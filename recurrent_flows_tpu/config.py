@@ -1,0 +1,209 @@
+"""Dataclass configs + the reference's architecture DSL.
+
+The reference configures everything through argparse namespaces frozen into
+checkpoints (main_rfn.py:50-197). Here the source of truth is frozen
+dataclasses (hashable -> usable as jit static args), with parsers for the
+reference's hyphen-separated structure DSL ("32-32-pool") so the CLI surface
+stays compatible (reference main_rfn.py:38-47,131-142).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from typing import Any, Tuple
+
+# --------------------------------------------------------------------------
+# Structure DSL
+# --------------------------------------------------------------------------
+
+Block = Tuple[Any, ...]  # ints and keyword strings ('pool','conv','squeeze',...)
+
+
+def parse_block(spec: str) -> Block:
+    """"32-32-pool" -> (32, 32, 'pool'). Reference main_rfn.py:38-47."""
+    out = []
+    for tok in spec.split("-"):
+        out.append(int(tok) if tok.isdigit() else tok)
+    return tuple(out)
+
+
+def parse_structure(specs) -> Tuple[Block, ...]:
+    """List of per-block DSL strings -> tuple of blocks."""
+    if isinstance(specs, str):
+        specs = specs.split()
+    blocks = []
+    for s in specs:
+        blocks.append(parse_block(s) if isinstance(s, str) else tuple(s))
+    return tuple(blocks)
+
+
+# --------------------------------------------------------------------------
+# Flow (Glow) config — reference main_rfn.py:162-181
+# --------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class GlowConfig:
+    L: int = 3
+    K: int = 10
+    n_bits: int = 8
+    learn_prior: bool = True
+    lu_decomposed: bool = True
+    n_units_affine: int = 256
+    n_units_prior: int = 512
+    non_lin: str = "relu"  # {relu, leakyrelu}
+    make_conditional: bool = True
+    flow_norm: str = "actnorm"  # {actnorm, batchnorm}
+    base_norm: str = "actnorm"
+    batchnorm_momentum: float = 0.0
+    clamp_type: str = "realnvp"  # {glow, realnvp, softclamp, none}
+    split2d_act: str = "softplus"  # {softplus, exp}
+
+
+# --------------------------------------------------------------------------
+# RFN — reference main_rfn.py:115-193
+# --------------------------------------------------------------------------
+
+_DEFAULT_EXTRACTOR = (
+    (8, 8, "pool", 16),
+    (16, 16, "pool", 32),
+    (32, 32, "pool", 64),
+    (64, "pool", 128),
+    (128, "pool", 256),
+)
+_DEFAULT_UPSCALER = (
+    (256, 128),
+    ("upsample", 128, 128),
+    ("upsample", 64, 64),
+    ("upsample", 32, 32),
+    ("upsample", 16, 16),
+)
+
+
+@dataclass(frozen=True)
+class RFNConfig:
+    x_channels: int = 1
+    image_size: int = 64
+    h_dim: int = 256
+    z_dim: int = 5
+    a_dim: int = 200
+    L: int = 5
+    K: int = 15
+    extractor_structure: Tuple[Block, ...] = _DEFAULT_EXTRACTOR
+    upscaler_structure: Tuple[Block, ...] = _DEFAULT_UPSCALER
+    prior_structure: Block = (256, 64)
+    encoder_structure: Block = (256, 64)
+    structure_scaler: int = 2
+    norm_type: str = "none"  # prior/encoder nets
+    norm_type_features: str = "batchnorm"  # extractor/upscaler
+    skip_connection_flow: str = "with_skip"  # {without_skip, with_skip, only_skip}
+    skip_connection_features: bool = True
+    downscaler_tanh: bool = False
+    upscaler_tanh: bool = False
+    free_bits: float = -1.0
+    enable_smoothing: bool = False
+    res_q: bool = False
+    D: int = 0  # number of latent overshoots (0 = off)
+    overshot_w: float = 1.0
+    temperature: float = 0.7
+    glow: GlowConfig = GlowConfig(L=5, K=15)
+
+    def __post_init__(self):
+        # Keep flow depth consistent with the model's L/K knobs.
+        if self.glow.L != self.L or self.glow.K != self.K:
+            object.__setattr__(
+                self, "glow", dataclasses.replace(self.glow, L=self.L, K=self.K)
+            )
+        assert len(self.extractor_structure) == self.L
+        assert len(self.upscaler_structure) == self.L
+
+
+# --------------------------------------------------------------------------
+# SRNN / VRNN — reference main_srnn.py / main_vrnn.py
+# --------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class SRNNConfig:
+    x_channels: int = 1
+    image_size: int = 64
+    h_dim: int = 256
+    z_dim: int = 32
+    a_dim: int = 256
+    loss_type: str = "bernoulli"  # {bernoulli, gaussian, mse, mol}
+    dequantize: bool = True
+    n_logistics: int = 5
+    n_bits: int = 8
+    preprocess_range: str = "1.0"
+    enable_smoothing: bool = True
+    res_q: bool = False
+    D: int = 0  # num_shots
+    overshot_w: float = 1.0
+    norm_type: str = "batchnorm"
+
+
+@dataclass(frozen=True)
+class VRNNConfig:
+    x_channels: int = 1
+    image_size: int = 64
+    h_dim: int = 256
+    z_dim: int = 32
+    loss_type: str = "bernoulli"
+    dequantize: bool = True
+    n_logistics: int = 5
+    n_bits: int = 8
+    preprocess_range: str = "1.0"
+    norm_type: str = "batchnorm"
+
+
+@dataclass(frozen=True)
+class SVGConfig:
+    x_channels: int = 1
+    image_size: int = 64
+    z_dim: int = 10
+    c_features: int = 128  # g_dim in edenton/svg
+    h_dim: int = 256  # rnn_size
+    posterior_rnn_layers: int = 1
+    predictor_rnn_layers: int = 2
+    prior_rnn_layers: int = 1
+    loss_type: str = "mse"
+    variance: float = 1.0
+    norm_type: str = "batchnorm"
+
+
+# --------------------------------------------------------------------------
+# Training — reference main_rfn.py:75-112 + trainer.py
+# --------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    batch_size: int = 32
+    n_frames: int = 10
+    choose_data: str = "mnist"  # {mnist, kth, bair, shapes}
+    digit_size: int = 32
+    step_length: int = 4
+    num_digits: int = 2
+    n_bits: int = 8
+    preprocess_range: str = "0.5"  # {0.5, 1.0, none, minmax}
+    preprocess_scale: int = 255
+    learning_rate: float = 1e-4
+    scheduler_type: str = "plateau"  # {plateau, linear}
+    patience_lr: int = 10_000_000
+    factor_lr: float = 0.9999
+    min_lr: float = 5e-5
+    patience_es: int = 50_000_000
+    beta_max: float = 1.0
+    beta_min: float = 1e-7
+    beta_steps: int = 12_000
+    n_epochs: int = 100
+    steps_per_epoch: int = 1875  # "epoch" for on-the-fly generated data
+    n_predictions: int = 7
+    n_conditions: int = 3
+    n_predictions_plot: int = 6
+    seed: int = 0
+    remat: bool = True  # rematerialize the per-timestep scan body
+    # linear scheduler constants (reference RFN/trainer.py:190-204)
+    linear_start_step: int = 100_000
+    linear_num_steps: int = 150_000

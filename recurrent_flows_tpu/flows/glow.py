@@ -1,0 +1,220 @@
+"""Multiscale conditional Glow (NHWC, flax.linen).
+
+TPU-native rebuild of reference Flow/glow.py:10-160 (GlowStep, ListGlow).
+Scales/steps are static Python structure (traced once under jit); squeeze is
+a reshape/transpose; all per-channel ops act on the last axis.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..config import GlowConfig
+from ..nn.layers import act
+from ..utils.numerics import (
+    batch_reduce,
+    normal_log_prob,
+    split_feature,
+    squeeze2d,
+    unsqueeze2d,
+)
+from .modules import (
+    ActNorm,
+    AffineCoupling,
+    BatchNormFlow,
+    Conv2dNorm,
+    Conv2dZeros,
+    InvConv,
+    Split2d,
+)
+
+
+class GlowStep(nn.Module):
+    """norm -> invertible 1x1 conv -> conditional affine coupling.
+
+    Reference: Flow/glow.py:10-41. ``spatial_shape`` is only needed when
+    flow_norm='batchnorm' (per-position stats).
+    """
+
+    channels: int
+    cfg: GlowConfig
+    spatial_shape: tuple = ()
+
+    @nn.compact
+    def __call__(self, x, condition, logdet=None, reverse: bool = False,
+                 training: bool = True, ddi: bool = False):
+        cfg = self.cfg
+        if cfg.flow_norm == "batchnorm":
+            norm = BatchNormFlow(
+                self.spatial_shape, momentum=cfg.batchnorm_momentum, name="norm"
+            )
+            norm_kwargs = dict(training=training)
+        else:
+            norm = ActNorm(self.channels, name="norm")
+            norm_kwargs = dict(ddi=ddi)
+        invconv = InvConv(self.channels, lu_decomposed=cfg.lu_decomposed, name="invconv")
+        affine = AffineCoupling(
+            self.channels,
+            hidden_units=cfg.n_units_affine,
+            non_lin=cfg.non_lin,
+            clamp_type=cfg.clamp_type,
+            name="affine",
+        )
+        if not reverse:
+            x, logdet = norm(x, logdet, reverse=False, **norm_kwargs)
+            x, logdet = invconv(x, logdet, reverse=False)
+            x, logdet = affine(x, condition, logdet, reverse=False, ddi=ddi)
+        else:
+            x, logdet = affine(x, condition, logdet, reverse=True)
+            x, logdet = invconv(x, logdet, reverse=True)
+            x, logdet = norm(x, logdet, reverse=True, **norm_kwargs)
+        return x, logdet
+
+
+class ListGlow(nn.Module):
+    """Multiscale conditional Glow with a learned conditional base prior.
+
+    L x [squeeze -> K x GlowStep -> conditional Split2d], final latent prior
+    N(mean, exp(log_scale)) parameterized from ``base_condition``.
+    Reference: Flow/glow.py:43-160.
+    """
+
+    in_channels: int
+    image_size: int  # input H (== W)
+    cfg: GlowConfig
+
+    def setup(self):
+        cfg = self.cfg
+        c = self.in_channels
+        hw = self.image_size
+        steps, splits = [], []
+        for l in range(cfg.L):
+            c *= 4
+            hw //= 2
+            steps.append(
+                tuple(
+                    GlowStep(c, cfg, spatial_shape=(hw, hw, c), name=f"scale{l}_step{k}")
+                    for k in range(cfg.K)
+                )
+            )
+            if l < cfg.L - 1:
+                splits.append(
+                    Split2d(
+                        c,
+                        make_conditional=cfg.make_conditional,
+                        clamp_function=cfg.split2d_act,
+                        name=f"split{l}",
+                    )
+                )
+                c //= 2
+        self.steps = tuple(steps)
+        self.splits = tuple(splits)
+        self.final_channels = c
+        self.final_hw = hw
+        if cfg.learn_prior:
+            self.prior_conv0 = Conv2dNorm(cfg.n_units_prior, 3, norm=cfg.base_norm, name="prior0")
+            self.prior_conv1 = Conv2dNorm(cfg.n_units_prior // 2, 1, norm=cfg.base_norm, name="prior1")
+            self.prior_out = Conv2dZeros(2 * c, name="prior_out")
+
+    # -- base prior -------------------------------------------------------
+
+    def base_params(self, base_condition, batch: int, ddi: bool = False):
+        """(mean, log_scale) of the base distribution p(z | base_condition)."""
+        cfg = self.cfg
+        if cfg.learn_prior:
+            h = self.prior_conv0(base_condition, ddi=ddi)
+            h = act(h, cfg.non_lin)
+            h = self.prior_conv1(h, ddi=ddi)
+            h = act(h, cfg.non_lin)
+            out = self.prior_out(h)
+            mean, log_scale = split_feature(out, "split")
+        else:
+            shape = (batch, self.final_hw, self.final_hw, self.final_channels)
+            mean = jnp.zeros(shape)
+            log_scale = jnp.zeros(shape)
+        return mean, log_scale
+
+    # -- bijection --------------------------------------------------------
+
+    def f(self, x, conditions: Sequence, logdet, training: bool = True, ddi: bool = False):
+        """x -> z. Reference Flow/glow.py:105-117."""
+        cfg = self.cfg
+        z = x
+        for l in range(cfg.L):
+            z = squeeze2d(z)
+            for k in range(cfg.K):
+                z, logdet = self.steps[l][k](
+                    z, conditions[l], logdet, reverse=False, training=training, ddi=ddi
+                )
+            if l < cfg.L - 1:
+                z, logdet = self.splits[l](
+                    z, conditions[l], logdet, reverse=False, ddi=ddi
+                )
+        return z, logdet
+
+    def g(self, z, conditions: Sequence, rng, temperature: float = 1.0,
+          training: bool = True):
+        """z -> x. Reference Flow/glow.py:90-102."""
+        cfg = self.cfg
+        x = z
+        for l in reversed(range(cfg.L)):
+            if l < cfg.L - 1:
+                rng, sub = jax.random.split(rng)
+                x, _ = self.splits[l](
+                    x, conditions[l], None, reverse=True, rng=sub, temperature=temperature
+                )
+            for k in reversed(range(cfg.K)):
+                x, _ = self.steps[l][k](
+                    x, conditions[l], None, reverse=True, training=training
+                )
+            x = unsqueeze2d(x)
+        return x
+
+    # -- densities --------------------------------------------------------
+
+    def log_prob(self, x, conditions, base_condition, rng=None, logdet=0.0,
+                 training: bool = True, ddi: bool = False, dequantize: bool = True):
+        """Returns (z, nll[B]). Reference Flow/glow.py:119-141.
+
+        Uniform dequantization noise is added when ``dequantize`` (requires
+        ``rng``); the -log(n_bins)*D correction is always applied, matching
+        the reference's uniform_binning_correction.
+        """
+        cfg = self.cfg
+        b = x.shape[0]
+        n_bins = 2.0 ** cfg.n_bits
+        dims = x.shape[1] * x.shape[2] * x.shape[3]
+        obj = jnp.asarray(logdet, jnp.float32) * jnp.ones((b,), jnp.float32)
+        if dequantize:
+            x = x + jax.random.uniform(rng, x.shape, x.dtype, 0.0, 1.0 / n_bins)
+        obj = obj - math.log(n_bins) * dims
+        z, obj = self.f(x, conditions, obj, training=training, ddi=ddi)
+        mean, log_scale = self.base_params(base_condition, b, ddi=ddi)
+        obj = obj + batch_reduce(normal_log_prob(z, mean, jnp.exp(log_scale)))
+        return z, -obj
+
+    def sample(self, z, conditions, base_condition, rng, num_samples: int = 32,
+               temperature: float = 0.8, eval_params: bool = False,
+               training: bool = True):
+        """Draw x (optionally from a provided z). Reference Flow/glow.py:143-160."""
+        rng_base, rng_g = jax.random.split(rng)
+        batch = base_condition.shape[0] if base_condition is not None else num_samples
+        mean, log_scale = self.base_params(base_condition, batch)
+        if z is None:
+            std = jnp.exp(log_scale) * temperature
+            z = mean + std * jax.random.normal(rng_base, mean.shape, mean.dtype)
+        x = self.g(z, conditions, rng_g, temperature=temperature, training=training)
+        if eval_params:
+            return x, (mean, jnp.exp(log_scale))
+        return x
+
+    def __call__(self, x, conditions, base_condition, rng):
+        """Init-only entry: touches every parameter once (f + prior + g)."""
+        z, nll = self.log_prob(x, conditions, base_condition, rng)
+        _ = self.g(z, conditions, rng)
+        return nll

@@ -1,0 +1,336 @@
+"""Glow building blocks (NHWC, flax.linen).
+
+TPU-native re-design of reference Flow/glow_modules.py:
+
+  * ActNorm data-dependent init is a *pure* pass: in ``ddi=True`` mode each
+    ActNorm computes statistics from its own (already-DDI'd-upstream) input,
+    uses them, and sows them to the ``'ddi'`` collection; the caller merges
+    them into params (see flows/ddi.py). This reproduces the reference's
+    in-place first-batch init (glow_modules.py:22-36) in one traced pass
+    with no mutable buffers.
+  * InvConv inverse uses triangular solves instead of ``torch.inverse``
+    (glow_modules.py:198-203) — better conditioned, identical semantics.
+  * Channel axis is last everywhere.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..config import GlowConfig
+from ..nn.layers import act
+from ..utils.numerics import batch_reduce, normal_log_prob, split_feature
+
+
+def _first(x):
+    # self.sow appends tuples; we always sow exactly once per apply.
+    return x
+
+
+class ActNorm(nn.Module):
+    """Per-channel scale+bias with data-dependent init.
+
+    forward: y = (x + bias) * exp(logs); logdet += sum(logs) * H * W.
+    Reference: Flow/glow_modules.py:10-54.
+    """
+
+    num_channels: int
+
+    @nn.compact
+    def __call__(self, x, logdet=None, reverse: bool = False, ddi: bool = False):
+        c = self.num_channels
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        logs = self.param("logs", nn.initializers.zeros, (c,))
+        if ddi:
+            # ddof=1 to match torch.std (glow_modules.py:28)
+            mean = jnp.mean(x, axis=(0, 1, 2))
+            std = jnp.std(x, axis=(0, 1, 2), ddof=1)
+            bias = -mean
+            logs = jnp.log(1.0 / (std + 1e-6))
+            self.sow("ddi", "bias", bias, reduce_fn=lambda a, b: b, init_fn=lambda: None)
+            self.sow("ddi", "logs", logs, reduce_fn=lambda a, b: b, init_fn=lambda: None)
+        dims = x.shape[1] * x.shape[2]
+        dlogdet = jnp.sum(logs) * dims
+        if not reverse:
+            y = (x + bias) * jnp.exp(logs)
+            if logdet is not None:
+                logdet = logdet + dlogdet
+        else:
+            y = x * jnp.exp(-logs) - bias
+            if logdet is not None:
+                logdet = logdet - dlogdet
+        return y, logdet
+
+
+class BatchNormFlow(nn.Module):
+    """RealNVP-style batchnorm bijection (reference Flow/glow_modules.py:56-104).
+
+    Per-position params/stats of shape [H, W, C] (the reference keeps full
+    [1, C, H, W] stats). Forward in training mode uses current-batch stats;
+    running stats are updated only when applied with ``mutable=['batch_stats']``
+    (i.e. outside lax.scan). Reverse always uses running stats.
+    """
+
+    spatial_shape: tuple  # (H, W, C)
+    momentum: float = 0.0
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x, logdet=None, reverse: bool = False, training: bool = True, ddi: bool = False):
+        shape = self.spatial_shape
+        log_gamma = self.param("log_gamma", nn.initializers.zeros, shape)
+        beta = self.param("beta", nn.initializers.zeros, shape)
+        r_mean = self.variable("batch_stats", "running_mean", jnp.zeros, shape)
+        r_var = self.variable("batch_stats", "running_var", jnp.ones, shape)
+
+        if training and not reverse:
+            mean = jnp.mean(x, axis=0)
+            var = jnp.mean(jnp.square(x - mean), axis=0) + self.eps
+            if self.is_mutable_collection("batch_stats"):
+                r_mean.value = r_mean.value * self.momentum + mean * (1 - self.momentum)
+                r_var.value = r_var.value * self.momentum + var * (1 - self.momentum)
+        else:
+            mean, var = r_mean.value, r_var.value
+
+        dlogdet = jnp.sum(log_gamma - 0.5 * jnp.log(var))
+        if not reverse:
+            y = jnp.exp(log_gamma) * (x - mean) * jax.lax.rsqrt(var) + beta
+            if logdet is not None:
+                logdet = logdet + dlogdet
+        else:
+            y = (x - beta) * jnp.exp(-log_gamma) * jnp.sqrt(var) + mean
+            if logdet is not None:
+                logdet = logdet - dlogdet
+        return y, logdet
+
+
+class Conv2dZeros(nn.Module):
+    """Zero-initialized conv with learned output gain exp(3*logs).
+
+    Reference: Flow/glow_modules.py:106-121.
+    """
+
+    out_channels: int
+    kernel: int = 3
+
+    @nn.compact
+    def __call__(self, x):
+        p = (self.kernel - 1) // 2
+        y = nn.Conv(
+            self.out_channels,
+            kernel_size=(self.kernel, self.kernel),
+            padding=((p, p), (p, p)),
+            kernel_init=nn.initializers.zeros,
+            bias_init=nn.initializers.zeros,
+            name="conv",
+        )(x)
+        logs = self.param("logs", nn.initializers.zeros, (self.out_channels,))
+        return y * jnp.exp(logs * 3.0)
+
+
+class Conv2dNorm(nn.Module):
+    """Conv (weights ~ N(0, 0.05)) + {actnorm|batchnorm|none}.
+
+    Reference: Flow/glow_modules.py:123-147.
+    """
+
+    out_channels: int
+    kernel: int = 3
+    norm: str = "actnorm"
+
+    @nn.compact
+    def __call__(self, x, ddi: bool = False):
+        p = (self.kernel - 1) // 2
+        y = nn.Conv(
+            self.out_channels,
+            kernel_size=(self.kernel, self.kernel),
+            padding=((p, p), (p, p)),
+            use_bias=(self.norm != "actnorm"),
+            kernel_init=nn.initializers.normal(stddev=0.05),
+            bias_init=nn.initializers.zeros,
+            name="conv",
+        )(x)
+        if self.norm == "actnorm":
+            y, _ = ActNorm(self.out_channels, name="actnorm")(y, None, ddi=ddi)
+        elif self.norm == "batchnorm":
+            # stat-free batch normalization (see nn.layers.NormLayer note)
+            mean = jnp.mean(y, axis=(0, 1, 2), keepdims=True)
+            var = jnp.var(y, axis=(0, 1, 2), keepdims=True)
+            gamma = self.param("bn_scale", nn.initializers.ones, (self.out_channels,))
+            bbeta = self.param("bn_bias", nn.initializers.zeros, (self.out_channels,))
+            y = (y - mean) * jax.lax.rsqrt(var + 1e-5) * gamma + bbeta
+        return y
+
+
+class InvConv(nn.Module):
+    """Invertible 1x1 conv, optionally LU-parameterized.
+
+    Reference: Flow/glow_modules.py:150-221. P and sign(s) live in the
+    ``'consts'`` collection (non-trainable). The inverse is computed with
+    triangular solves rather than explicit inverses.
+    """
+
+    num_channels: int
+    lu_decomposed: bool = True
+
+    @nn.compact
+    def __call__(self, x, logdet=None, reverse: bool = False):
+        c = self.num_channels
+        hw = x.shape[1] * x.shape[2]
+        if not self.lu_decomposed:
+            w = self.param(
+                "weight", lambda k, s: nn.initializers.orthogonal()(k, s), (c, c)
+            )
+            dlogdet = jnp.linalg.slogdet(w)[1] * hw
+            weight = jnp.linalg.inv(w) if reverse else w
+        else:
+            if self.is_initializing():
+                w0 = nn.initializers.orthogonal()(self.make_rng("params"), (c, c))
+                p0, l0, u0 = jax.scipy.linalg.lu(w0)
+                s0 = jnp.diag(u0)
+                init = dict(
+                    p=p0,
+                    sign_s=jnp.sign(s0),
+                    lower=l0,
+                    log_s=jnp.log(jnp.abs(s0)),
+                    upper=jnp.triu(u0, 1),
+                )
+            else:
+                init = dict(p=None, sign_s=None, lower=None, log_s=None, upper=None)
+            p = self.variable("consts", "p", lambda: init["p"]).value
+            sign_s = self.variable("consts", "sign_s", lambda: init["sign_s"]).value
+            lower = self.param("lower", lambda k: init["lower"])
+            log_s = self.param("log_s", lambda k: init["log_s"])
+            upper = self.param("upper", lambda k: init["upper"])
+
+            l_mask = jnp.tril(jnp.ones((c, c), x.dtype), -1)
+            eye = jnp.eye(c, dtype=x.dtype)
+            l = lower * l_mask + eye
+            u = upper * l_mask.T + jnp.diag(sign_s * jnp.exp(log_s))
+            dlogdet = jnp.sum(log_s) * hw
+            if reverse:
+                u_inv = jax.scipy.linalg.solve_triangular(u, eye, lower=False)
+                l_inv = jax.scipy.linalg.solve_triangular(l, eye, lower=True, unit_diagonal=True)
+                weight = u_inv @ l_inv @ p.T
+            else:
+                weight = p @ l @ u
+
+        # 1x1 conv in NHWC == right-matmul by weight^T (maps straight to MXU).
+        z = jnp.einsum("bhwc,dc->bhwd", x, weight)
+        if logdet is not None:
+            logdet = logdet - dlogdet if reverse else logdet + dlogdet
+        return z, logdet
+
+
+class AffineCoupling(nn.Module):
+    """Conditional affine coupling with 4 clamp variants.
+
+    forward: z2 = (z2 + shift) * exp(clamp(s)); logdet += sum(clamp(s)).
+    Reference: Flow/glow_modules.py:223-291 (note the reference's
+    shift-then-scale order, kept here).
+    """
+
+    x_channels: int
+    hidden_units: int = 256
+    non_lin: str = "relu"
+    clamp_type: str = "realnvp"
+    norm: str = "actnorm"  # norm used inside the coupling net convs
+
+    @nn.compact
+    def __call__(self, x, condition, logdet=None, reverse: bool = False, ddi: bool = False):
+        z1, z2 = split_feature(x, "split")
+        assert condition.shape[1:3] == x.shape[1:3], "condition/x spatial mismatch"
+        h = jnp.concatenate([z1, condition], axis=-1)
+        h = Conv2dNorm(self.hidden_units, 3, norm=self.norm, name="net0")(h, ddi=ddi)
+        h = act(h, self.non_lin)
+        h = Conv2dNorm(self.hidden_units, 1, norm=self.norm, name="net1")(h, ddi=ddi)
+        h = act(h, self.non_lin)
+        out = Conv2dZeros(self.x_channels, name="net2")(h)
+        shift, log_scale = split_feature(out, "cross")
+
+        if self.clamp_type == "glow":
+            s = jnp.log(jax.nn.sigmoid(log_scale + 2.0))
+        elif self.clamp_type == "softclamp":
+            s = 2.5 * 0.636 * jnp.arctan(log_scale / 2.5)
+        elif self.clamp_type == "realnvp":
+            scale = self.param("scale", nn.initializers.zeros, (self.x_channels // 2,))
+            scale_shift = self.param(
+                "scale_shift", nn.initializers.zeros, (self.x_channels // 2,)
+            )
+            s = scale * jnp.tanh(log_scale) + scale_shift
+        elif self.clamp_type == "none":
+            s = log_scale
+        else:
+            raise ValueError(f"unknown clamp type: {self.clamp_type}")
+
+        if not reverse:
+            z2 = (z2 + shift) * jnp.exp(s)
+            if logdet is not None:
+                logdet = logdet + jnp.sum(s, axis=(1, 2, 3))
+        else:
+            z2 = z2 * jnp.exp(-s) - shift
+            if logdet is not None:
+                logdet = logdet - jnp.sum(s, axis=(1, 2, 3))
+        return jnp.concatenate([z1, z2], axis=-1), logdet
+
+
+class Split2d(nn.Module):
+    """Multiscale split with learned (optionally conditional) Gaussian p(z2|z1, cond).
+
+    Reference: Flow/glow_modules.py:312-369. forward: drop z2, add its
+    log-likelihood to the objective. reverse: draw z2 ~ N(mean, sigma * T).
+    """
+
+    x_channels: int  # channels of x *before* the split
+    make_conditional: bool = True
+    clamp_function: str = "softplus"
+    norm: str = "actnorm"
+    non_lin: str = "relu"
+
+    def _clamp(self, log_scale):
+        if self.clamp_function == "softplus":
+            return jax.nn.softplus(log_scale) + 1e-8
+        elif self.clamp_function == "exp":
+            return jnp.exp(log_scale)
+        raise ValueError("split2d clamp must be in {softplus, exp}")
+
+    @nn.compact
+    def __call__(
+        self,
+        x,
+        condition=None,
+        logdet=None,
+        reverse: bool = False,
+        rng=None,
+        temperature: float = 1.0,
+        ddi: bool = False,
+    ):
+        if not reverse:
+            z1, z2 = split_feature(x, "split")
+        else:
+            z1 = x
+
+        if self.make_conditional:
+            c = condition.shape[-1]
+            cond = Conv2dNorm(c, 3, norm=self.norm, name="cond0")(condition, ddi=ddi)
+            cond = act(cond, self.non_lin)
+            cond = Conv2dNorm(c, 1, norm=self.norm, name="cond1")(cond, ddi=ddi)
+            cond = act(cond, self.non_lin)
+            h = jnp.concatenate([z1, cond], axis=-1)
+        else:
+            h = z1
+
+        out = Conv2dZeros(self.x_channels, name="conv")(h)
+        mean, log_scale = split_feature(out, "cross")
+        sigma = self._clamp(log_scale)
+
+        if not reverse:
+            if logdet is not None:
+                logdet = logdet + batch_reduce(normal_log_prob(z2, mean, sigma))
+            return z1, logdet
+        else:
+            eps = jax.random.normal(rng, mean.shape, dtype=mean.dtype)
+            z2 = mean + sigma * temperature * eps
+            return jnp.concatenate([z1, z2], axis=-1), logdet

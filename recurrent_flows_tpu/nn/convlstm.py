@@ -1,0 +1,75 @@
+"""Peephole ConvLSTM (NHWC) with lax.scan time unrolls.
+
+TPU-native equivalent of reference Utils/modules.py:326-414. The four gates
+come from one fused conv over [x; h] (4*hidden output channels -> a single
+large MXU matmul per step); the python-loop unroll of the reference becomes
+``lax.scan`` (forward and reverse for the smoothing LSTM).
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from .layers import conv2d
+
+
+class ConvLSTMCell(nn.Module):
+    """Single peephole ConvLSTM step.
+
+    Gate order (i, f, o, g) and zero-init peephole weights Wci/Wcf/Wco of
+    shape [1, H, W, hidden] match reference Utils/modules.py:355-393.
+    """
+
+    hidden_channels: int
+    kernel: int = 3
+    peephole: bool = True
+
+    @nn.compact
+    def __call__(self, x, h, c):
+        hc = self.hidden_channels
+        combined = jnp.concatenate([x, h], axis=-1)
+        gates = conv2d(
+            4 * hc,
+            self.kernel,
+            kernel_init=nn.initializers.xavier_normal(),
+            bias_init=nn.initializers.uniform(scale=1.0),
+            name="gates",
+        )(combined)
+        cc_i, cc_f, cc_o, cc_g = jnp.split(gates, 4, axis=-1)
+        if self.peephole:
+            hw = (1, x.shape[1], x.shape[2], hc)
+            w_ci = self.param("Wci", nn.initializers.zeros, hw)
+            w_cf = self.param("Wcf", nn.initializers.zeros, hw)
+            w_co = self.param("Wco", nn.initializers.zeros, hw)
+        else:
+            w_ci = w_cf = w_co = 0.0
+        i = jax.nn.sigmoid(cc_i + w_ci * c)
+        f = jax.nn.sigmoid(cc_f + w_cf * c)
+        g = jnp.tanh(cc_g)
+        c_next = f * c + i * g
+        o = jax.nn.sigmoid(cc_o + w_co * c_next)
+        h_next = o * jnp.tanh(c_next)
+        return h_next, c_next
+
+
+def conv_lstm_scan(cell_apply, xs, h0, c0, reverse: bool = False):
+    """Unroll a bound ConvLSTM cell over time-major input.
+
+    Args:
+      cell_apply: ``(x, h, c) -> (h, c)`` (a bound ConvLSTMCell or pytree fn).
+      xs: time-major inputs, pytree with leading axis T.
+      h0, c0: initial state [B, H, W, hidden].
+      reverse: scan from the last step (smoothing a-LSTM).
+
+    Returns: (hs [T, B, H, W, hidden], h_T, c_T).
+    """
+
+    def step(carry, x):
+        h, c = carry
+        h, c = cell_apply(x, h, c)
+        return (h, c), h
+
+    (h, c), hs = jax.lax.scan(step, (h0, c0), xs, reverse=reverse)
+    return hs, h, c

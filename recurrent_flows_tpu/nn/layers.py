@@ -1,0 +1,140 @@
+"""Shared NN primitives (NHWC, flax.linen).
+
+TPU-native equivalents of reference Utils/modules.py:8-41,216-244. Conv
+padding is explicit ((k-1)//2 per side) so geometry matches the reference's
+torch convs exactly for all strides.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+def act(x: jax.Array, non_lin: str) -> jax.Array:
+    """relu / leakyrelu(0.2) selector (reference Utils/modules.py:8-19)."""
+    if non_lin == "relu":
+        return jax.nn.relu(x)
+    if non_lin == "leakyrelu":
+        return jax.nn.leaky_relu(x, negative_slope=0.2)
+    raise ValueError(f"unknown activation: {non_lin}")
+
+
+class ActFun(nn.Module):
+    non_lin: str
+
+    @nn.compact
+    def __call__(self, x):
+        return act(x, self.non_lin)
+
+
+def conv2d(
+    features: int,
+    kernel: int = 3,
+    stride: int = 1,
+    use_bias: bool = True,
+    kernel_init=None,
+    bias_init=None,
+    name: str | None = None,
+) -> nn.Conv:
+    """3x3/1x1 conv with torch-style explicit symmetric padding."""
+    p = (kernel - 1) // 2
+    kwargs = {}
+    if kernel_init is not None:
+        kwargs["kernel_init"] = kernel_init
+    if bias_init is not None:
+        kwargs["bias_init"] = bias_init
+    return nn.Conv(
+        features,
+        kernel_size=(kernel, kernel),
+        strides=(stride, stride),
+        padding=((p, p), (p, p)),
+        use_bias=use_bias,
+        name=name,
+        **kwargs,
+    )
+
+
+def deconv2d(features: int, name: str | None = None) -> nn.ConvTranspose:
+    """Transposed conv k=4 s=2 p=1 (exactly 2x upsampling, torch geometry).
+
+    Reference Utils/modules.py:176.
+    """
+    return nn.ConvTranspose(
+        features,
+        kernel_size=(4, 4),
+        strides=(2, 2),
+        padding=((1, 1), (1, 1)),
+        use_bias=False,
+        name=name,
+    )
+
+
+class NormLayer(nn.Module):
+    """{batchnorm | instancenorm | none} selector (reference Utils/modules.py:28-41).
+
+    TPU note: 'batchnorm' here normalizes with current-batch statistics (the
+    reference's training-mode behavior) and keeps no running averages — these
+    layers are applied inside lax.scan bodies where mutable state is not
+    expressible, and the reference's eval-time running stats are a minor
+    behavioral detail not load-bearing for any metric.
+    """
+
+    norm_type: str
+    use_scale_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        if self.norm_type == "none":
+            return x
+        if self.norm_type == "batchnorm":
+            axes = (0, 1, 2)  # per-channel over batch+space
+        elif self.norm_type == "instancenorm":
+            axes = (1, 2)  # per-sample, per-channel over space
+        else:
+            raise ValueError(f"unknown norm type: {self.norm_type}")
+        mean = jnp.mean(x, axis=axes, keepdims=True)
+        var = jnp.var(x, axis=axes, keepdims=True)
+        y = (x - mean) * jax.lax.rsqrt(var + 1e-5)
+        if self.norm_type == "batchnorm" and self.use_scale_bias:
+            c = x.shape[-1]
+            gamma = self.param("scale", nn.initializers.ones, (c,))
+            beta = self.param("bias", nn.initializers.zeros, (c,))
+            y = y * gamma + beta
+        return y
+
+
+class SimpleParamNet(nn.Module):
+    """Conv stack from the structure DSL -> (loc, softplus scale).
+
+    Used as the RFN prior and encoder (reference Utils/modules.py:216-244).
+    Structure entries: int = 3x3 conv to that channel count; 'pool' =
+    maxpool/2; 'conv' = strided conv multiplying channels by ``scale``.
+    """
+
+    structure: Sequence
+    out_channels: int
+    norm_type: str = "batchnorm"
+    non_lin: str = "leakyrelu"
+    scale: int = 2
+
+    @nn.compact
+    def __call__(self, x):
+        for j, i in enumerate(self.structure):
+            if i == "pool":
+                x = nn.max_pool(x, (2, 2), strides=(2, 2))
+            elif i == "conv":
+                ch = int(self.scale * x.shape[-1])
+                x = conv2d(ch, 3, stride=2, name=f"conv_{j}")(x)
+                x = NormLayer(self.norm_type, name=f"norm_{j}")(x)
+                x = act(x, self.non_lin)
+            else:
+                x = conv2d(int(i), 3, name=f"conv_{j}")(x)
+                x = NormLayer(self.norm_type, name=f"norm_{j}")(x)
+                x = act(x, self.non_lin)
+        out = conv2d(2 * self.out_channels, 3, name="param_conv")(x)
+        loc, log_scale = jnp.split(out, 2, axis=-1)
+        return loc, jax.nn.softplus(log_scale)

@@ -1,0 +1,82 @@
+"""Core numeric helpers shared by the flow library and models.
+
+TPU-native NHWC equivalents of the reference's tensor utilities
+(reference: Utils/utils.py:25-98). All channel operations act on the
+*last* axis (NHWC), whereas the reference acts on axis 1 (NCHW).
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+
+_LOG_SQRT_2PI = 0.5 * math.log(2.0 * math.pi)
+
+
+def split_feature(x: jax.Array, kind: str = "split"):
+    """Split channels (last axis).
+
+    ``"split"``: contiguous halves; ``"cross"``: even/odd interleave.
+    Mirrors reference Utils/utils.py:86-91 (which splits NCHW axis 1).
+    """
+    c = x.shape[-1]
+    if kind == "split":
+        return x[..., : c // 2], x[..., c // 2 :]
+    elif kind == "cross":
+        return x[..., 0::2], x[..., 1::2]
+    raise ValueError(f"unknown split kind: {kind}")
+
+
+def batch_reduce(x: jax.Array) -> jax.Array:
+    """Sum over everything but the leading (batch) axis -> [B].
+
+    Reference: Utils/utils.py:25-28.
+    """
+    return jnp.sum(x.reshape(x.shape[0], -1), axis=-1)
+
+
+def free_bits_kl(kl: jax.Array, free_bits: float = 0.0, eps: float = 1e-6) -> jax.Array:
+    """Elementwise clamp of the KL at ``free_bits`` (reference Utils/utils.py:93-98)."""
+    if free_bits < eps:
+        return kl
+    return jnp.maximum(kl, free_bits)
+
+
+def normal_log_prob(x: jax.Array, mean: jax.Array, std: jax.Array) -> jax.Array:
+    """log N(x; mean, std) elementwise — same formula as torch.distributions.Normal."""
+    return -0.5 * jnp.square((x - mean) / std) - jnp.log(std) - _LOG_SQRT_2PI
+
+
+def normal_kl(mean_q, std_q, mean_p, std_p) -> jax.Array:
+    """KL(N(mean_q, std_q) || N(mean_p, std_p)) elementwise (analytic)."""
+    var_ratio = jnp.square(std_q / std_p)
+    t1 = jnp.square((mean_q - mean_p) / std_p)
+    return 0.5 * (var_ratio + t1 - 1.0 - jnp.log(var_ratio))
+
+
+def normal_sample(key: jax.Array, mean: jax.Array, std: jax.Array) -> jax.Array:
+    """Reparameterized draw from N(mean, std)."""
+    return mean + std * jax.random.normal(key, mean.shape, dtype=mean.dtype)
+
+
+def squeeze2d(x: jax.Array) -> jax.Array:
+    """Space-to-depth [B,H,W,C] -> [B,H/2,W/2,4C].
+
+    Output channel order is (c, h-offset, w-offset) with c slowest, matching
+    the reference's NCHW permute order (Flow/glow_modules.py:298-304) so the
+    two layouts are channel-permutation-identical.
+    """
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // 2, 2, w // 2, 2, c)
+    x = x.transpose(0, 1, 3, 5, 2, 4)  # [B, H/2, W/2, C, 2, 2]
+    return x.reshape(b, h // 2, w // 2, c * 4)
+
+
+def unsqueeze2d(x: jax.Array) -> jax.Array:
+    """Depth-to-space inverse of :func:`squeeze2d`."""
+    b, h, w, c = x.shape
+    x = x.reshape(b, h, w, c // 4, 2, 2)
+    x = x.transpose(0, 1, 4, 2, 5, 3)  # [B, H, 2, W, 2, C/4]
+    return x.reshape(b, h * 2, w * 2, c // 4)
