@@ -124,8 +124,8 @@ def test_affine_coupling_matches_reference(clamp):
         t.scale_shift.data = torch.tensor(np.asarray(p["scale_shift"]).reshape(-1, 1, 1))
     t.eval()
     ty, tld = t(nhwc_to_torch(x), nhwc_to_torch(cond), torch.zeros(B), reverse=False)
-    np.testing.assert_allclose(np.asarray(y), torch_to_nhwc(ty), atol=5e-5)
-    np.testing.assert_allclose(np.asarray(ld), tld.detach().numpy(), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(y), torch_to_nhwc(ty), rtol=1e-4, atol=5e-5)
+    np.testing.assert_allclose(np.asarray(ld), tld.detach().numpy(), rtol=1e-4, atol=1e-3)
 
 
 def test_split2d_matches_reference():
