@@ -1,0 +1,128 @@
+"""End-to-end RFN model tests on a tiny config (CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from recurrent_flows_tpu.config import GlowConfig, RFNConfig
+from recurrent_flows_tpu.flows import data_dependent_init
+from recurrent_flows_tpu.models import RFN
+
+B, T, IMG = 2, 4, 16
+
+
+def tiny_cfg(**kw):
+    base = dict(
+        x_channels=1,
+        image_size=IMG,
+        h_dim=8,
+        z_dim=2,
+        a_dim=4,
+        L=2,
+        K=2,
+        extractor_structure=((4, "pool", 8), (8, "pool", 8)),
+        upscaler_structure=((8,), ("upsample", 4)),
+        prior_structure=(4,),
+        encoder_structure=(4,),
+        norm_type="none",
+        norm_type_features="none",
+        glow=GlowConfig(L=2, K=2, n_units_affine=8, n_units_prior=8),
+    )
+    base.update(kw)
+    return RFNConfig(**base)
+
+
+def make(cfg):
+    model = RFN(cfg, remat=False)
+    x = jax.random.uniform(jax.random.key(0), (B, T, IMG, IMG, cfg.x_channels)) - 0.5
+    v = model.init(jax.random.key(1), x, jax.random.key(2))
+    return model, v, x
+
+
+@pytest.mark.parametrize(
+    "kw",
+    [
+        {},
+        {"enable_smoothing": True},
+        {"res_q": True},
+        {"D": 2},
+        {"skip_connection_flow": "without_skip", "skip_connection_features": False},
+        {"skip_connection_flow": "only_skip"},
+        {"free_bits": 0.5},
+    ],
+)
+def test_rfn_loss_variants(kw):
+    cfg = tiny_cfg(**kw)
+    model, v, x = make(cfg)
+    out = model.apply(v, x, jax.random.key(3), method=RFN.loss)
+    for k in ("kl_free_bits", "kl", "nll"):
+        assert np.isfinite(float(out[k])), (k, out[k])
+    if kw.get("free_bits", -1.0) > 0:
+        hu = IMG // 2 ** cfg.L
+        assert float(out["kl_free_bits"]) >= 0.5 * hu * hu * cfg.z_dim - 1e-3
+
+
+def test_rfn_grads_finite():
+    cfg = tiny_cfg()
+    model, v, x = make(cfg)
+
+    def loss_fn(params):
+        out = model.apply(
+            {"params": params, "consts": v["consts"]}, x, jax.random.key(3),
+            method=RFN.loss,
+        )
+        return out["nll"] + out["kl_free_bits"]
+
+    g = jax.grad(loss_fn)(v["params"])
+    leaves = jax.tree.leaves(g)
+    assert all(np.all(np.isfinite(l)) for l in leaves)
+    # something nontrivial flows to the flow and the lstm
+    assert any(np.any(np.asarray(l) != 0) for l in jax.tree.leaves(g["flow"]))
+    assert any(np.any(np.asarray(l) != 0) for l in jax.tree.leaves(g["lstm"]))
+
+
+def test_rfn_predict_reconstruct_sample_shapes():
+    cfg = tiny_cfg()
+    model, v, x = make(cfg)
+    true_x, preds = model.apply(
+        v, x, 3, 2, jax.random.key(4), method=RFN.predict
+    )
+    assert true_x.shape == (2, B, IMG, IMG, 1)
+    assert preds.shape == (3, B, IMG, IMG, 1)
+    recons, recons_flow = model.apply(v, x, jax.random.key(5), method=RFN.reconstruct)
+    assert recons.shape == (T - 1, B, IMG, IMG, 1)
+    assert recons_flow.shape == (T - 1, B, IMG, IMG, 1)
+    # NOTE: recons_flow redraws split z2's from the learned split prior
+    # (reference semantics), so it only converges to x as training sharpens
+    # the split priors; the exact f∘g bijection is property-tested at flow
+    # level (test_flows.test_listglow_bijection).
+    assert np.all(np.isfinite(np.asarray(recons_flow)))
+    samples = model.apply(v, x, 3, jax.random.key(6), method=RFN.sample)
+    assert samples.shape == (3, B, IMG, IMG, 1)
+
+
+def test_rfn_ddi():
+    cfg = tiny_cfg()
+    model, v, x = make(cfg)
+
+    def ddi_apply(vars_):
+        return model.apply(vars_, x, jax.random.key(0), method=RFN.ddi, mutable=["ddi"])
+
+    v2 = data_dependent_init(v, ddi_apply)
+    # actnorm params inside the flow changed
+    before = v["params"]["flow"]["scale0_step0"]["norm"]["bias"]
+    after = v2["params"]["flow"]["scale0_step0"]["norm"]["bias"]
+    assert not np.allclose(before, after)
+    # loss still finite with DDI params
+    out = model.apply(v2, x, jax.random.key(3), method=RFN.loss)
+    assert np.isfinite(float(out["nll"]))
+
+
+def test_rfn_remat_matches():
+    cfg = tiny_cfg()
+    model, v, x = make(cfg)
+    m2 = RFN(cfg, remat=True)
+    out1 = model.apply(v, x, jax.random.key(3), method=RFN.loss)
+    out2 = m2.apply(v, x, jax.random.key(3), method=RFN.loss)
+    np.testing.assert_allclose(float(out1["nll"]), float(out2["nll"]), rtol=1e-5)
