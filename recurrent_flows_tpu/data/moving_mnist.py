@@ -1,0 +1,244 @@
+"""On-device stochastic Moving MNIST (pure JAX, jittable).
+
+TPU-native re-design of reference data_generators/stochasticMovingMnist.py:
+instead of CPU DataLoader workers compositing numpy frames per item, the
+whole batch is generated on-device with ``jax.random`` — the training step
+fuses data generation and model update into one XLA program, eliminating the
+host->device transfer entirely.
+
+Motion semantics mirror the reference (:48-127): per digit, random start in
+[0, image_size - digit_size), velocity ~ U{-step..step}; on wall contact the
+position is clamped and (stochastic mode) a fresh velocity pointing away
+from the wall is drawn — y-axis handled before x-axis, each axis redrawing
+both velocity components, composited frames clipped at 1.0 for overlap.
+
+Digit bank: real MNIST (IDX files, parsed with numpy — torchvision is not
+required) when available, otherwise a procedurally generated bank of
+digit-like stroke sprites (deterministic per seed) so everything runs with
+zero external data.
+"""
+
+from __future__ import annotations
+
+import functools
+import gzip
+import os
+import struct
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+# --------------------------------------------------------------------------
+# Digit banks
+# --------------------------------------------------------------------------
+
+
+def load_mnist_digits(data_root: str, train: bool = True) -> Optional[np.ndarray]:
+    """Parse MNIST IDX image files ([N,28,28] float32 in [0,1]) if present.
+
+    Looks for ``{train,t10k}-images-idx3-ubyte[.gz]`` under ``data_root``
+    (including the torchvision-style ``MNIST/raw`` subdir). Returns None when
+    the files are absent.
+    """
+    stem = "train-images-idx3-ubyte" if train else "t10k-images-idx3-ubyte"
+    candidates = [
+        os.path.join(data_root, stem),
+        os.path.join(data_root, stem + ".gz"),
+        os.path.join(data_root, "MNIST", "raw", stem),
+        os.path.join(data_root, "MNIST", "raw", stem + ".gz"),
+    ]
+    for path in candidates:
+        if not os.path.exists(path):
+            continue
+        opener = gzip.open if path.endswith(".gz") else open
+        with opener(path, "rb") as f:
+            magic, n, rows, cols = struct.unpack(">IIII", f.read(16))
+            assert magic == 2051, f"bad IDX magic in {path}"
+            data = np.frombuffer(f.read(n * rows * cols), dtype=np.uint8)
+        return data.reshape(n, rows, cols).astype(np.float32) / 255.0
+    return None
+
+
+def synthetic_digit_bank(seed: int = 0, n: int = 512, size: int = 28) -> np.ndarray:
+    """Procedural digit-like sprites: a few blurred strokes per glyph.
+
+    Deterministic fallback when no MNIST files are on disk; statistically
+    digit-shaped (sparse bright strokes on black) which is what the models
+    care about.
+    """
+    rng = np.random.RandomState(seed)
+    yy, xx = np.mgrid[0:size, 0:size].astype(np.float32)
+    bank = np.zeros((n, size, size), np.float32)
+    for i in range(n):
+        img = np.zeros((size, size), np.float32)
+        n_strokes = rng.randint(2, 5)
+        pts = rng.uniform(size * 0.15, size * 0.85, size=(n_strokes + 1, 2))
+        for a, b in zip(pts[:-1], pts[1:]):
+            for t in np.linspace(0.0, 1.0, 24):
+                cy, cx = a * (1 - t) + b * t
+                img += np.exp(-((yy - cy) ** 2 + (xx - cx) ** 2) / (2 * 1.3 ** 2))
+        img = np.clip(img / max(img.max(), 1e-6) * 1.4, 0.0, 1.0)
+        bank[i] = img
+    return bank
+
+
+def _resize_bank(bank: np.ndarray, digit_size: int) -> np.ndarray:
+    if bank.shape[-1] == digit_size:
+        return bank
+    out = jax.image.resize(
+        jnp.asarray(bank), (bank.shape[0], digit_size, digit_size), method="bilinear"
+    )
+    return np.asarray(out)
+
+
+# --------------------------------------------------------------------------
+# Jittable sampler
+# --------------------------------------------------------------------------
+
+
+def _axis_bounce(key, pos, vel_this, vel_other, limit, step, deterministic):
+    """One axis' boundary handling (reference :79-107, y before x)."""
+    k1, k2 = jax.random.split(key)
+    below = pos < 0
+    above = pos >= limit
+    fresh_pos = jax.random.randint(k1, pos.shape, 1, step + 1)
+    fresh_neg = jax.random.randint(k1, pos.shape, -step, 0)
+    fresh_other = jax.random.randint(k2, pos.shape, -step, step + 1)
+    if deterministic:
+        new_this = jnp.where(below | above, -vel_this, vel_this)
+        new_other = vel_other
+    else:
+        new_this = jnp.where(below, fresh_pos, jnp.where(above, fresh_neg, vel_this))
+        new_other = jnp.where(below | above, fresh_other, vel_other)
+    new_pos = jnp.where(below, 0, jnp.where(above, limit - 1, pos))
+    return new_pos, new_this, new_other, (below | above)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "seq_len", "image_size", "num_digits", "step_length", "deterministic",
+        "batch_size",
+    ),
+)
+def sample_moving_mnist(
+    key,
+    digits,  # [N, ds, ds] digit bank on device
+    *,
+    seq_len: int,
+    image_size: int,
+    num_digits: int,
+    step_length: int,
+    deterministic: bool,
+    batch_size: int,
+):
+    """Sample a batch: returns (frames [B,T,H,W,1] in [0,1], hit_boundary [B,T])."""
+    n_bank, ds, _ = digits.shape
+    limit = image_size - ds
+    kd, kx, ky, kvx, kvy, kt = jax.random.split(key, 6)
+    shape = (batch_size, num_digits)
+    idx = jax.random.randint(kd, shape, 0, n_bank)
+    sprites = digits[idx]  # [B, n, ds, ds]
+    sx = jax.random.randint(kx, shape, 0, limit)
+    sy = jax.random.randint(ky, shape, 0, limit)
+    dx = jax.random.randint(kvx, shape, -step_length, step_length + 1)
+    dy = jax.random.randint(kvy, shape, -step_length, step_length + 1)
+
+    def step(carry, key_t):
+        sx, sy, dx, dy = carry
+        ka, kb = jax.random.split(key_t)
+        sy, dy, dx, hit_y = _axis_bounce(ka, sy, dy, dx, limit, step_length, deterministic)
+        sx, dx, dy, hit_x = _axis_bounce(kb, sx, dx, dy, limit, step_length, deterministic)
+        pos = (sy, sx)
+        hit = jnp.any(hit_y | hit_x, axis=-1)  # [B]
+        return (sx + dx, sy + dy, dx, dy), (pos, hit)
+
+    keys = jax.random.split(kt, seq_len)
+    _, ((pos_y, pos_x), hits) = jax.lax.scan(step, (sx, sy, dx, dy), keys)
+    # pos_*: [T, B, n] int32
+
+    def place(sprite, py, px):
+        canvas = jnp.zeros((image_size, image_size), sprite.dtype)
+        return jax.lax.dynamic_update_slice(canvas, sprite, (py, px))
+
+    # vmap over digits, batch, time
+    place_d = jax.vmap(place, in_axes=(0, 0, 0))  # digits
+    place_bd = jax.vmap(place_d, in_axes=(0, 0, 0))  # batch
+    place_tbd = jax.vmap(place_bd, in_axes=(None, 0, 0))  # time
+
+    canvases = place_tbd(sprites, pos_y, pos_x)  # [T, B, n, H, W]
+    frames = jnp.clip(jnp.sum(canvases, axis=2), 0.0, 1.0)
+    frames = frames.swapaxes(0, 1)[..., None]  # [B, T, H, W, 1]
+    return frames, hits.swapaxes(0, 1)
+
+
+class MovingMNIST:
+    """Batch sampler facade (reference MovingMNIST / MovingMNIST_synchronized).
+
+    ``synchronized=True`` reuses one fixed motion key across calls so motion
+    is reproducible and returns the ``hit_boundary`` side channel used by
+    parameter-analysis plots (reference stochasticMovingMnist.py:131-248).
+    """
+
+    def __init__(
+        self,
+        train: bool = True,
+        data_root: str = "./mnist_data",
+        seq_len: int = 20,
+        num_digits: int = 2,
+        image_size: int = 64,
+        digit_size: int = 28,
+        deterministic: bool = False,
+        three_channels: bool = False,
+        step_length: int = 4,
+        normalize: bool = False,
+        make_target: bool = False,
+        synchronized: bool = False,
+        seed: Optional[int] = None,
+    ):
+        bank = load_mnist_digits(data_root, train=train)
+        if bank is None:
+            bank = synthetic_digit_bank(seed=0 if train else 1)
+        self.digits = jnp.asarray(_resize_bank(bank, digit_size))
+        self.seq_len = seq_len
+        self.num_digits = num_digits
+        self.image_size = image_size
+        self.step_length = step_length
+        self.deterministic = deterministic
+        self.three_channels = three_channels
+        self.normalize = normalize
+        self.make_target = make_target
+        self.synchronized = synchronized
+        self.seed = seed
+
+    def sample(self, key, batch_size: int):
+        """Returns [B,T,H,W,C] in [0,1] (+ hit_boundary when synchronized)."""
+        if self.seed is not None:
+            key = jax.random.key(self.seed)
+        if self.synchronized:
+            key = jax.random.key(12)  # fixed motion, like the per-digit seeds
+        x, hits = sample_moving_mnist(
+            key,
+            self.digits,
+            seq_len=self.seq_len,
+            image_size=self.image_size,
+            num_digits=self.num_digits,
+            step_length=self.step_length,
+            deterministic=self.deterministic,
+            batch_size=batch_size,
+        )
+        if self.normalize:
+            x = (x - 0.1307) / 0.3081
+        if self.three_channels:
+            x = jnp.repeat(x, 3, axis=-1)
+        if self.make_target:
+            half = self.seq_len // 2
+            out = (x[:, :half], x[:, half:])
+        else:
+            out = x
+        if self.synchronized:
+            return out, hits
+        return out

@@ -1,0 +1,385 @@
+"""Unified training harness (one Solver for all model families).
+
+Replaces the reference's four near-identical trainers (RFN/SRNN/VRNN/SVG
+trainer.py copies — SURVEY §2 L4) with a single Trainer parameterized by a
+model whose ``loss`` method returns {kl_free_bits, kl, nll}.
+
+TPU-first:
+  * the train step is one jitted program: (on-device data generation when
+    the dataset is a generator) -> preprocess -> loss -> grad -> adam
+    update — no host<->device transfer per step;
+  * multi-device: batch sharded over the mesh 'data' axis, params
+    replicated; jit inserts the gradient psum (reference used
+    nn.DataParallel, RFN/trainer.py:92-94);
+  * LR is a traced hyperparameter (optax.inject_hyperparams) so plateau /
+    linear schedules never trigger recompilation.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from functools import partial
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+
+from ..config import TrainConfig
+from ..parallel import make_mesh, replicate, shard_batch
+from .checkpoint import load_checkpoint, save_checkpoint
+from .schedules import BetaSchedule, EarlyStopping, PlateauScheduler, linear_lr
+
+
+class TrainState(struct.PyTreeNode):
+    params: Any
+    consts: Any
+    opt_state: Any
+    step: jax.Array
+
+
+# --------------------------------------------------------------------------
+# Preprocessing (reference RFN/trainer.py:165-188)
+# --------------------------------------------------------------------------
+
+
+def preprocess(x, n_bits: int = 8, rng_range: str = "0.5", scale: int = 255,
+               reverse: bool = False):
+    """n-bit quantization to [-0.5, 0.5] ('0.5') or [0, 1] ('1.0').
+
+    Forward expects data in [0, 1]; reverse maps back to bytes.
+    'none' passes through (SVG); 'minmax' rescales to [-1, 1] (SRNN mol).
+    """
+    n_bins = 2.0 ** n_bits
+    if rng_range == "none":
+        return x
+    if rng_range == "minmax":
+        if not reverse:
+            return x * 2.0 - 1.0
+        return jnp.clip((x + 1.0) * 0.5 * 255.0, 0, 255).astype(jnp.uint8)
+    if not reverse:
+        x = x * scale
+        if n_bits < 8:
+            x = jnp.floor(x / 2 ** (8 - n_bits))
+        x = x / n_bins
+        if rng_range == "0.5":
+            x = x - 0.5
+        return x
+    else:
+        if rng_range == "0.5":
+            x = x + 0.5
+        x = x * n_bins
+        return jnp.clip(jnp.floor(x) * (256.0 / n_bins), 0, 255).astype(jnp.uint8)
+
+
+def bits_per_dim(kl: jax.Array, nll: jax.Array, dims: int, t: int) -> jax.Array:
+    """-elbo / (ln2 * C*H*W * (T-1)) — reference RFN/trainer.py:206-219."""
+    return (kl + nll) / (math.log(2.0) * dims * t)
+
+
+# --------------------------------------------------------------------------
+
+
+class Trainer:
+    """Builds, trains, checkpoints and plots any model with the loss contract.
+
+    Args:
+      model: linen module with methods ``loss(x, rng) -> dict`` and
+        (optionally) ``ddi(x, rng)``, ``predict``, ``reconstruct``, ``sample``.
+      tcfg: TrainConfig.
+      data: object with ``.sample(key, batch_size) -> [B,T,H,W,C] in [0,1]``
+        (on-device generator) or an iterable of numpy batches.
+      workdir: output directory (checkpoints, pngs, status.txt).
+      use_logdet: pass logdet=0.0 through loss (flow models).
+    """
+
+    def __init__(self, model, tcfg: TrainConfig, data, workdir: str,
+                 test_data=None, mesh=None):
+        self.model = model
+        self.tcfg = tcfg
+        self.data = data
+        self.test_data = test_data if test_data is not None else data
+        self.workdir = workdir
+        self.mesh = mesh
+        self.losses: list = []
+        self.kl_hist: list = []
+        self.recon_hist: list = []
+        self.bits_hist: list = []
+        self.epoch_i = 0
+        self.counter = 0  # annealing counter (# optimizer steps)
+        self.plot_counter = 0
+        self.best_loss = float("inf")
+        self.stop = False
+        self.beta_schedule = BetaSchedule(tcfg.beta_max, tcfg.beta_min, tcfg.beta_steps)
+        self.plateau = PlateauScheduler(
+            tcfg.learning_rate, tcfg.patience_lr, tcfg.factor_lr, tcfg.min_lr
+        )
+        self.early = EarlyStopping(tcfg.patience_es)
+        self._train_step = None
+
+    # -- build ------------------------------------------------------------
+
+    def build(self, rng: Optional[jax.Array] = None, run_ddi: bool = True):
+        tcfg = self.tcfg
+        os.makedirs(os.path.join(self.workdir, "png_folder"), exist_ok=True)
+        os.makedirs(os.path.join(self.workdir, "model_folder"), exist_ok=True)
+        rng = rng if rng is not None else jax.random.key(tcfg.seed)
+        k_init, k_ddi, k_data, self._rng = jax.random.split(rng, 4)
+        batch = self._host_batch(k_data)
+        x = preprocess(batch, tcfg.n_bits, tcfg.preprocess_range, tcfg.preprocess_scale)
+        variables = self.model.init(k_init, x, jax.random.key(1))
+        variables = dict(variables)
+        variables.setdefault("consts", {})
+        if run_ddi and hasattr(type(self.model), "ddi"):
+            from ..flows.ddi import data_dependent_init
+
+            def ddi_apply(v):
+                return self.model.apply(v, x, k_ddi, method="ddi", mutable=["ddi"])
+
+            variables = data_dependent_init(variables, ddi_apply)
+
+        self.optimizer = optax.inject_hyperparams(optax.adam)(
+            learning_rate=tcfg.learning_rate
+        )
+        opt_state = self.optimizer.init(variables["params"])
+        self.state = TrainState(
+            params=variables["params"],
+            consts=variables["consts"],
+            opt_state=opt_state,
+            step=jnp.zeros((), jnp.int32),
+        )
+        if self.mesh is not None:
+            self.state = replicate(self.mesh, self.state)
+        self._compile_step()
+        return self
+
+    def _host_batch(self, key):
+        if hasattr(self.data, "sample"):
+            return self.data.sample(key, self.tcfg.batch_size)
+        return jnp.asarray(next(iter(self.data)))
+
+    # -- the jitted step ----------------------------------------------------
+
+    def _compile_step(self):
+        tcfg = self.tcfg
+        model = self.model
+
+        def loss_fn(params, consts, x, rng):
+            out = model.apply({"params": params, "consts": consts}, x, rng,
+                              method="loss")
+            return out
+
+        def train_step(state: TrainState, x, beta, lr, rng):
+            x = preprocess(x, tcfg.n_bits, tcfg.preprocess_range, tcfg.preprocess_scale)
+
+            def objective(params):
+                out = loss_fn(params, state.consts, x, rng)
+                loss = out["nll"] + beta * out["kl_free_bits"]
+                return loss, out
+
+            (loss, out), grads = jax.value_and_grad(objective, has_aux=True)(
+                state.params
+            )
+            opt_state = state.opt_state
+            opt_state.hyperparams["learning_rate"] = lr
+            updates, opt_state = self.optimizer.update(grads, opt_state, state.params)
+            params = optax.apply_updates(state.params, updates)
+            dims = x.shape[2] * x.shape[3] * x.shape[4]
+            t = x.shape[1] - 1
+            metrics = dict(
+                loss=loss,
+                kl=out["kl"],
+                nll=out["nll"],
+                bits=bits_per_dim(out["kl"], out["nll"], dims, t),
+            )
+            return state.replace(
+                params=params, opt_state=opt_state, step=state.step + 1
+            ), metrics
+
+        self._train_step = jax.jit(train_step, donate_argnums=(0,))
+
+    # -- training loop ------------------------------------------------------
+
+    def train_epoch(self, steps: Optional[int] = None) -> float:
+        """One epoch; returns running mean loss (reference semantics)."""
+        tcfg = self.tcfg
+        steps = steps if steps is not None else tcfg.steps_per_epoch
+        generator = hasattr(self.data, "sample")
+        it = None if generator else iter(self.data)
+        for _ in range(steps):
+            self._rng, k_data, k_loss = jax.random.split(self._rng, 3)
+            if generator:
+                batch = self.data.sample(k_data, tcfg.batch_size)
+            else:
+                try:
+                    batch = jnp.asarray(next(it))
+                except StopIteration:
+                    break
+            if self.mesh is not None:
+                batch = shard_batch(self.mesh, batch)
+            beta = self.beta_schedule(self.counter)
+            if tcfg.scheduler_type == "linear":
+                lr, self.stop = linear_lr(
+                    tcfg.learning_rate, self.counter,
+                    tcfg.linear_start_step, tcfg.linear_num_steps,
+                )
+            else:
+                lr = self.plateau.lr
+            self.state, metrics = self._train_step(
+                self.state, batch, beta, lr, k_loss
+            )
+            self.counter += 1
+            t = tcfg.n_frames - 1
+            self.losses.append(float(metrics["loss"]) / t)
+            self.kl_hist.append(float(metrics["kl"]) / t)
+            self.recon_hist.append(float(metrics["nll"]) / t)
+            self.bits_hist.append(float(metrics["bits"]))
+            if self.stop:
+                break
+        return float(np.mean(self.losses)) if self.losses else float("nan")
+
+    def fit(self, n_epochs: Optional[int] = None, plot: bool = True):
+        n_epochs = n_epochs if n_epochs is not None else self.tcfg.n_epochs
+        for _ in range(n_epochs):
+            self.epoch_i += 1
+            epoch_loss = self.train_epoch()
+            if plot:
+                try:
+                    self.plotter()
+                except Exception as e:  # plotting must never kill training
+                    print(f"plotter failed: {e}")
+            self.checkpoint("last")
+            if self.early.step(epoch_loss) or self.stop:
+                break
+            if self.early.best_loss < self.best_loss and self.epoch_i > 50:
+                self.best_loss = self.early.best_loss
+                self.checkpoint("best")
+            if self.tcfg.scheduler_type == "plateau":
+                self.plateau.step(epoch_loss)
+            self.status(epoch_loss)
+        return self
+
+    # -- persistence ----------------------------------------------------------
+
+    def checkpoint(self, name: str):
+        meta = dict(
+            epoch=self.epoch_i,
+            counter=self.counter,
+            plot_counter=self.plot_counter,
+            losses=self.losses[-10000:],
+            kl_loss=self.kl_hist[-10000:],
+            recon_loss=self.recon_hist[-10000:],
+            bits_per_dim=self.bits_hist[-10000:],
+            best_loss=self.best_loss,
+            plateau_lr=self.plateau.lr,
+        )
+        save_checkpoint(
+            os.path.join(self.workdir, "model_folder", name), self.state, meta
+        )
+
+    def load(self, name: str = "last"):
+        state, meta = load_checkpoint(
+            os.path.join(self.workdir, "model_folder", name), target=self.state
+        )
+        self.state = jax.tree.map(jnp.asarray, state)
+        self.epoch_i = meta["epoch"]
+        self.counter = meta["counter"]
+        self.plot_counter = meta["plot_counter"]
+        self.losses = meta["losses"]
+        self.kl_hist = meta["kl_loss"]
+        self.recon_hist = meta["recon_loss"]
+        self.bits_hist = meta["bits_per_dim"]
+        self.best_loss = meta["best_loss"]
+        self.plateau.lr = meta.get("plateau_lr", self.tcfg.learning_rate)
+        return self
+
+    def status(self, epoch_loss: float):
+        path = os.path.join(self.workdir, "model_folder", "status.txt")
+        with open(path, "a") as f:
+            beta = self.beta_schedule(self.counter)
+            f.write(
+                f"epoch {self.epoch_i} loss {epoch_loss:.4f} "
+                f"kl {self.kl_hist[-1]:.4f} nll {self.recon_hist[-1]:.4f} "
+                f"bits {self.bits_hist[-1]:.4f} beta {beta:.5f} "
+                f"lr {self.plateau.lr:.6f}\n"
+            )
+
+    # -- variables facade ------------------------------------------------------
+
+    @property
+    def variables(self):
+        return {"params": self.state.params, "consts": self.state.consts}
+
+    # -- plotting ----------------------------------------------------------------
+
+    def plotter(self):
+        """Loss curves + true/sample/prediction/recon grids (reference
+        RFN/trainer.py:325-417)."""
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        tcfg = self.tcfg
+        png = os.path.join(self.workdir, "png_folder")
+        fig, ax = plt.subplots(1, 4, figsize=(20, 5))
+        for a, (hist, title) in zip(
+            ax,
+            [
+                (self.bits_hist, "bits per dim"),
+                (self.losses, "loss"),
+                (self.kl_hist, "KL"),
+                (self.recon_hist, "NLL"),
+            ],
+        ):
+            a.plot(hist)
+            a.set_title(title)
+            a.grid()
+        fig.tight_layout()
+        fig.savefig(os.path.join(png, "losses.png"), bbox_inches="tight")
+        plt.close(fig)
+
+        if not hasattr(type(self.model), "predict"):
+            return
+        self._rng, k1, k2, k3, k4 = jax.random.split(self._rng, 5)
+        batch = self._host_batch(k1)
+        x = preprocess(batch, tcfg.n_bits, tcfg.preprocess_range, tcfg.preprocess_scale)
+        v = self.variables
+        n_cond, n_pred = tcfg.n_conditions, tcfg.n_predictions
+        true_x, preds = self.model.apply(v, x, n_pred, n_cond, k2, method="predict")
+        recons = self.model.apply(v, x, k3, method="reconstruct")
+        recons, recons_flow = (recons if isinstance(recons, tuple) else (recons, None))
+        samples = self.model.apply(v, x, x.shape[1], k4, method="sample")
+
+        def post(a):
+            a = preprocess(a, tcfg.n_bits, tcfg.preprocess_range,
+                           tcfg.preprocess_scale, reverse=True)
+            return np.asarray(a)
+
+        rows = [
+            ("true", post(x.swapaxes(0, 1))),
+            ("sample|frame0", post(samples)),
+            ("prediction", post(jnp.concatenate([true_x, preds], axis=0))),
+            ("recon", post(recons)),
+        ]
+        if recons_flow is not None:
+            rows.append(("recon-bijection", post(recons_flow)))
+        t_show = min(x.shape[1], 10)
+        fig, ax = plt.subplots(len(rows), t_show, figsize=(1.5 * t_show, 1.5 * len(rows)))
+        for r, (name, arr) in enumerate(rows):
+            for t in range(t_show):
+                a = ax[r, t]
+                idx = min(t, arr.shape[0] - 1)
+                img = arr[idx, 0].squeeze()
+                a.imshow(img, cmap="gray")
+                a.axis("off")
+                if t == 0:
+                    a.set_title(name, fontsize=8)
+        fig.tight_layout()
+        fig.savefig(os.path.join(png, f"samples{self.plot_counter}.png"),
+                    bbox_inches="tight")
+        plt.close(fig)
+        self.plot_counter += 1
