@@ -1,0 +1,201 @@
+"""Benchmark: RFN 16-frame autoregressive rollout, frames/sec/chip.
+
+The headline number from BASELINE.md: KTH-protocol rollouts (64x64 gray,
+predict 16 frames) on TPU vs the measured PyTorch reference. The reference
+publishes no numbers, so the baseline is MEASURED by running the reference
+model (same architecture config) with CPU torch once and caching it in
+BENCH_BASELINE.json (hardware noted inside). Prints ONE JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+BENCH = dict(
+    image_size=64,
+    channels=1,
+    batch_size=8,
+    n_conditions=3,
+    n_predictions=16,
+    h_dim=128,
+    z_dim=16,
+    a_dim=32,
+    L=3,
+    K=10,
+    n_units_affine=256,
+    n_units_prior=256,
+    extractor=((32, "pool", 64), (64, "pool", 128), (128, "pool", 128)),
+    upscaler=((128, 64), ("upsample", 64, 64), ("upsample", 32, 32)),
+    prior_structure=(128, 64),
+    encoder_structure=(128, 64),
+)
+
+_BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "BENCH_BASELINE.json")
+
+
+def measure_ours() -> float:
+    import jax
+
+    from recurrent_flows_tpu.config import GlowConfig, RFNConfig
+    from recurrent_flows_tpu.models import RFN
+
+    b = BENCH
+    cfg = RFNConfig(
+        x_channels=b["channels"],
+        image_size=b["image_size"],
+        h_dim=b["h_dim"],
+        z_dim=b["z_dim"],
+        a_dim=b["a_dim"],
+        L=b["L"],
+        K=b["K"],
+        extractor_structure=b["extractor"],
+        upscaler_structure=b["upscaler"],
+        prior_structure=b["prior_structure"],
+        encoder_structure=b["encoder_structure"],
+        norm_type="none",
+        norm_type_features="none",
+        glow=GlowConfig(L=b["L"], K=b["K"], n_units_affine=b["n_units_affine"],
+                        n_units_prior=b["n_units_prior"]),
+    )
+    model = RFN(cfg, remat=False)
+    bs = b["batch_size"]
+    x = (
+        jax.random.uniform(
+            jax.random.key(0), (bs, b["n_conditions"], b["image_size"], b["image_size"], 1)
+        )
+        - 0.5
+    )
+    variables = model.init(jax.random.key(1), x, jax.random.key(2))
+
+    @jax.jit
+    def rollout(v, x, key):
+        _, preds = model.apply(v, x, b["n_predictions"], b["n_conditions"], key,
+                               method="predict")
+        return preds
+
+    preds = rollout(variables, x, jax.random.key(3))
+    preds.block_until_ready()  # compile + warmup
+    n_runs = 5
+    t0 = time.perf_counter()
+    for i in range(n_runs):
+        preds = rollout(variables, x, jax.random.key(4 + i))
+    preds.block_until_ready()
+    dt = (time.perf_counter() - t0) / n_runs
+    frames = bs * b["n_predictions"]
+    return frames / dt
+
+
+def measure_reference() -> float:
+    """Measure the PyTorch reference's rollout on this host (CPU torch).
+
+    Same architecture config; .cuda() monkeypatched to no-op since the
+    reference hard-codes CUDA tensor placement (RFN/RFN_new.py:120 etc).
+    """
+    import sys
+    from types import SimpleNamespace
+
+    import numpy as np
+    import torch
+
+    torch.Tensor.cuda = lambda self, *a, **k: self  # CPU-only host
+    torch.set_num_threads(os.cpu_count() or 8)
+    sys.path.insert(0, "/root/reference")
+    from RFN.RFN_new import RFN as RefRFN
+
+    b = BENCH
+    bs = b["batch_size"]
+    args = SimpleNamespace(
+        batch_size=bs,
+        x_dim=[bs, b["channels"], b["image_size"], b["image_size"]],
+        condition_dim=[bs, b["channels"], b["image_size"], b["image_size"]],
+        h_dim=b["h_dim"],
+        z_dim=b["z_dim"],
+        a_dim=b["a_dim"],
+        L=b["L"],
+        K=b["K"],
+        norm_type="none",
+        norm_type_features="none",
+        temperature=0.7,
+        prior_structure=list(b["prior_structure"]),
+        encoder_structure=list(b["encoder_structure"]),
+        free_bits=-1.0,
+        skip_connection_flow="with_skip",
+        downscaler_tanh=False,
+        skip_connection_features=True,
+        upscaler_tanh=False,
+        enable_smoothing=False,
+        res_q=False,
+        D=0,
+        overshot_w=1.0,
+        extractor_structure=[list(s) for s in b["extractor"]],
+        upscaler_structure=[list(s) for s in b["upscaler"]],
+        structure_scaler=2,
+        learn_prior=True,
+        LU_decomposed=True,
+        n_units_affine=b["n_units_affine"],
+        non_lin_glow="relu",
+        n_units_prior=b["n_units_prior"],
+        make_conditional=True,
+        flow_norm="actnorm",
+        base_norm="actnorm",
+        flow_batchnorm_momentum=0.0,
+        clamp_type="realnvp",
+        split2d_act="softplus",
+        n_bits=8,
+    )
+    model = RefRFN(args)
+    model.eval()
+    x = torch.rand(bs, b["n_conditions"], b["channels"], b["image_size"], b["image_size"]) - 0.5
+    with torch.no_grad():
+        model.predict(x, 1, b["n_conditions"])  # warmup
+        t0 = time.perf_counter()
+        model.predict(x, b["n_predictions"], b["n_conditions"])
+        dt = time.perf_counter() - t0
+    return bs * b["n_predictions"] / dt
+
+
+def get_baseline() -> float:
+    if os.path.exists(_BASELINE_FILE):
+        with open(_BASELINE_FILE) as f:
+            return json.load(f)["torch_reference_fps"]
+    try:
+        fps = measure_reference()
+        with open(_BASELINE_FILE, "w") as f:
+            json.dump(
+                dict(
+                    torch_reference_fps=fps,
+                    note="PyTorch reference RFN.predict, CPU torch on bench host "
+                    "(reference hardware V100 unavailable; reference publishes "
+                    "no numbers — BASELINE.md)",
+                    config=str(BENCH),
+                ),
+                f,
+                indent=2,
+            )
+        return fps
+    except Exception as e:  # pragma: no cover
+        print(f"# baseline measurement failed: {e}", flush=True)
+        return float("nan")
+
+
+def main():
+    baseline = get_baseline()
+    ours = measure_ours()
+    vs = ours / baseline if baseline == baseline and baseline > 0 else 0.0
+    print(
+        json.dumps(
+            dict(
+                metric="rfn_rollout_frames_per_sec_per_chip",
+                value=round(ours, 2),
+                unit="frames/s",
+                vs_baseline=round(vs, 2),
+            )
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,150 @@
+"""Discretized mixture-of-logistics likelihood (PixelCNN++), NHWC JAX.
+
+Equivalent of reference Utils/discretize_logits.py:75-278 (itself the
+public pixel-cnn-pp math): numerically stable CDF-difference log-prob with
+the +/-0.999 edge cases and 1/255 half-bin width (8-bit data in [-1, 1]),
+RGB sub-pixel linear coupling, Gumbel-max mixture sampling. Everything is
+vectorized elementwise (VPU-friendly); no per-pixel loops.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+_HALF_BIN = 1.0 / 255.0
+_LOG_127_5 = jnp.log(127.5)
+
+
+def _log_prob_from_logits(x):
+    return x - jax.scipy.special.logsumexp(x, axis=-1, keepdims=True)
+
+
+def _logistic_bin_logprob(x, means, log_scales):
+    """Per-(pixel, channel, mixture) discretized logistic log prob."""
+    centered = x - means
+    inv_stdv = jnp.exp(-log_scales)
+    plus_in = inv_stdv * (centered + _HALF_BIN)
+    min_in = inv_stdv * (centered - _HALF_BIN)
+    cdf_plus = jax.nn.sigmoid(plus_in)
+    cdf_min = jax.nn.sigmoid(min_in)
+    log_cdf_plus = plus_in - jax.nn.softplus(plus_in)  # edge case x ~ 0
+    log_one_minus_cdf_min = -jax.nn.softplus(min_in)  # edge case x ~ 255
+    cdf_delta = cdf_plus - cdf_min
+    mid_in = inv_stdv * centered
+    log_pdf_mid = mid_in - log_scales - 2.0 * jax.nn.softplus(mid_in)
+
+    inner_inner = jnp.where(
+        cdf_delta > 1e-5,
+        jnp.log(jnp.clip(cdf_delta, 1e-12)),
+        log_pdf_mid - _LOG_127_5,
+    )
+    inner = jnp.where(x > 0.999, log_one_minus_cdf_min, inner_inner)
+    return jnp.where(x < -0.999, log_cdf_plus, inner)
+
+
+def mol_log_prob_rgb(x, logits):
+    """log p(x) per pixel for 3-channel inputs.
+
+    x: [B,H,W,3] in [-1,1]; logits: [B,H,W,10*n_mix]
+    (n_mix mixture logits + per-channel n_mix*(mean, log_scale, coeff)).
+    Returns [B,H,W].
+    """
+    n_mix = logits.shape[-1] // 10
+    logit_probs = logits[..., :n_mix]
+    l = logits[..., n_mix:].reshape(logits.shape[:-1] + (3, 3 * n_mix))
+    means = l[..., :n_mix]
+    log_scales = jnp.clip(l[..., n_mix : 2 * n_mix], -7.0)
+    coeffs = jnp.tanh(l[..., 2 * n_mix : 3 * n_mix])
+
+    xe = x[..., None]  # [B,H,W,3,1]
+    m1 = means[..., 0, :]
+    m2 = means[..., 1, :] + coeffs[..., 0, :] * xe[..., 0, :]
+    m3 = (
+        means[..., 2, :]
+        + coeffs[..., 1, :] * xe[..., 0, :]
+        + coeffs[..., 2, :] * xe[..., 1, :]
+    )
+    means = jnp.stack([m1, m2, m3], axis=-2)  # [B,H,W,3,n_mix]
+
+    lp = _logistic_bin_logprob(xe, means, log_scales)  # [B,H,W,3,n_mix]
+    log_probs = jnp.sum(lp, axis=-2) + _log_prob_from_logits(logit_probs)
+    return jax.scipy.special.logsumexp(log_probs, axis=-1)
+
+
+def mol_log_prob_1d(x, logits):
+    """log p(x) per pixel for 1-channel inputs.
+
+    x: [B,H,W,1]; logits: [B,H,W,3*n_mix]. Returns [B,H,W].
+    """
+    n_mix = logits.shape[-1] // 3
+    logit_probs = logits[..., :n_mix]
+    l = logits[..., n_mix:].reshape(logits.shape[:-1] + (1, 2 * n_mix))
+    means = l[..., :n_mix]
+    log_scales = jnp.clip(l[..., n_mix : 2 * n_mix], -7.0)
+    lp = _logistic_bin_logprob(x[..., None], means, log_scales)
+    log_probs = jnp.sum(lp, axis=-2) + _log_prob_from_logits(logit_probs)
+    return jax.scipy.special.logsumexp(log_probs, axis=-1)
+
+
+def _gumbel_select(key, logit_probs):
+    """Gumbel-max mixture indicator -> one-hot [.., n_mix]."""
+    u = jax.random.uniform(key, logit_probs.shape, minval=1e-5, maxval=1.0 - 1e-5)
+    idx = jnp.argmax(logit_probs - jnp.log(-jnp.log(u)), axis=-1)
+    return jax.nn.one_hot(idx, logit_probs.shape[-1], dtype=logit_probs.dtype)
+
+
+def mol_sample_rgb(key, logits):
+    """Draw x [B,H,W,3] in [-1,1] from the mixture (reference :236-278)."""
+    n_mix = logits.shape[-1] // 10
+    k1, k2 = jax.random.split(key)
+    logit_probs = logits[..., :n_mix]
+    l = logits[..., n_mix:].reshape(logits.shape[:-1] + (3, 3 * n_mix))
+    sel = _gumbel_select(k1, logit_probs)[..., None, :]  # [B,H,W,1,n_mix]
+    means = jnp.sum(l[..., :n_mix] * sel, axis=-1)  # [B,H,W,3]
+    log_scales = jnp.clip(jnp.sum(l[..., n_mix : 2 * n_mix] * sel, axis=-1), -7.0)
+    coeffs = jnp.sum(jnp.tanh(l[..., 2 * n_mix : 3 * n_mix]) * sel, axis=-1)
+    u = jax.random.uniform(k2, means.shape, minval=1e-5, maxval=1.0 - 1e-5)
+    x = means + jnp.exp(log_scales) * (jnp.log(u) - jnp.log(1.0 - u))
+    x0 = jnp.clip(x[..., 0], -1.0, 1.0)
+    x1 = jnp.clip(x[..., 1] + coeffs[..., 0] * x0, -1.0, 1.0)
+    x2 = jnp.clip(x[..., 2] + coeffs[..., 1] * x0 + coeffs[..., 2] * x1, -1.0, 1.0)
+    return jnp.stack([x0, x1, x2], axis=-1)
+
+
+def mol_sample_1d(key, logits):
+    """Draw x [B,H,W,1] from the 1-channel mixture (reference :202-233)."""
+    n_mix = logits.shape[-1] // 3
+    k1, k2 = jax.random.split(key)
+    logit_probs = logits[..., :n_mix]
+    l = logits[..., n_mix:].reshape(logits.shape[:-1] + (1, 2 * n_mix))
+    sel = _gumbel_select(k1, logit_probs)[..., None, :]
+    means = jnp.sum(l[..., :n_mix] * sel, axis=-1)
+    log_scales = jnp.clip(jnp.sum(l[..., n_mix : 2 * n_mix] * sel, axis=-1), -7.0)
+    u = jax.random.uniform(k2, means.shape, minval=1e-5, maxval=1.0 - 1e-5)
+    x = means + jnp.exp(log_scales) * (jnp.log(u) - jnp.log(1.0 - u))
+    return jnp.clip(x, -1.0, 1.0)
+
+
+class DiscretizedMixtureLogits:
+    """3-channel likelihood facade (reference Utils/discretize_logits.py:20-26)."""
+
+    def __init__(self, n_mix: int):
+        self.n_mix = n_mix
+
+    def log_prob(self, x, logits):
+        return mol_log_prob_rgb(x, logits)
+
+    def sample(self, key, logits):
+        return mol_sample_rgb(key, logits)
+
+
+class DiscretizedMixtureLogits1d:
+    def __init__(self, n_mix: int):
+        self.n_mix = n_mix
+
+    def log_prob(self, x, logits):
+        return mol_log_prob_1d(x, logits)
+
+    def sample(self, key, logits):
+        return mol_sample_1d(key, logits)
