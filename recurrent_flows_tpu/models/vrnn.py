@@ -1,0 +1,219 @@
+"""VRNN — classic variational RNN (dense latents), TPU-native.
+
+Capability-parity rebuild of reference VRNN/VRNN.py:11-428: ConvLSTM input
+[phi_x(x_{t-1}); phi_z(z_{t-1})], prior p(z_t|h_t), encoder
+q(z_t|h_t, phi_x(x_t)), deconv decoder with the 4 likelihoods, plus
+predict/reconstruct/sample and the importance-weighted ELBO.
+
+Unlike SRNN, the recurrence consumes the previous posterior sample, so the
+whole loss is a single lax.scan carrying (h, c, zx_prev); frame features
+are still precomputed in one batched phi_x call.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..config import VRNNConfig
+from ..nn.convlstm import ConvLSTMCell
+from ..utils.numerics import batch_reduce, normal_kl, normal_log_prob, normal_sample
+from .dense_latent import ConvMLPGaussian, FrameDecoder, LikelihoodHead, PhiX, PhiZ
+
+
+class VRNN(nn.Module):
+    cfg: VRNNConfig
+    remat: bool = True
+
+    def setup(self):
+        cfg = self.cfg
+        h = cfg.image_size // 8
+        self.phi_x = PhiX(cfg.norm_type, name="phi_x")
+        self.phi_z = PhiZ(h, h, 128, cfg.norm_type, name="phi_z")
+        self.enc = ConvMLPGaussian(cfg.z_dim, cfg.norm_type, name="enc")
+        self.prior = ConvMLPGaussian(cfg.z_dim, cfg.norm_type, name="prior")
+        self.dec = FrameDecoder(cfg.norm_type, name="dec")
+        self.head = LikelihoodHead(
+            cfg.x_channels,
+            loss_type=cfg.loss_type,
+            preprocess_range=cfg.preprocess_range,
+            n_logistics=cfg.n_logistics,
+            n_bits=cfg.n_bits,
+            dequantize=cfg.dequantize,
+            name="head",
+        )
+        self.lstm = ConvLSTMCell(cfg.h_dim, name="lstm")
+        z = nn.initializers.zeros
+        self.h_0 = self.param("h_0", z, (1, h, h, cfg.h_dim))
+        self.c_0 = self.param("c_0", z, (1, h, h, cfg.h_dim))
+        self.z_0 = self.param("z_0", z, (1, cfg.z_dim))
+        self.z_0x = self.param("z_0x", z, (1, cfg.z_dim))
+
+    def get_inits(self, batch: int):
+        rep = lambda p: jnp.broadcast_to(p, (batch,) + p.shape[1:])
+        return rep(self.h_0), rep(self.c_0), rep(self.z_0), rep(self.z_0x)
+
+    def _features(self, x):
+        b, t = x.shape[:2]
+        flat = self.phi_x(x.reshape((b * t,) + x.shape[2:]))
+        return flat.reshape((b, t) + flat.shape[1:]).swapaxes(0, 1)
+
+    def __call__(self, x, rng):
+        b = x.shape[0]
+        feats = self._features(x[:, :2])
+        h0, c0, z0, z0x = self.get_inits(b)
+        lstm_in = jnp.concatenate([feats[0], self.phi_z(z0x)], -1)
+        ht, _ = self.lstm(lstm_in, h0, c0)
+        pm, ps = self.prior(ht)
+        em, es = self.enc(jnp.concatenate([ht, feats[1]], -1))
+        dec = self.dec(jnp.concatenate([ht, self.phi_z(em)], -1))
+        nll = self.head.nll(dec, x[:, 1], rng)
+        _ = self.head.decode(dec, rng)
+        return nll
+
+    # ------------------------------------------------------------------
+    def loss(self, x, rng):
+        b, t = x.shape[:2]
+        feats = self._features(x)
+        h0, c0, _, z0x = self.get_inits(b)
+        x_tm = x.swapaxes(0, 1)
+        keys = jax.random.split(rng, t - 1)
+
+        def step(carry, xs):
+            h, c, zxprev = carry
+            x_t, feat_prev, feat_t, key = xs
+            lstm_in = jnp.concatenate([feat_prev, self.phi_z(zxprev)], -1)
+            h, c = self.lstm(lstm_in, h, c)
+            pm, ps = self.prior(h)
+            em, es = self.enc(jnp.concatenate([h, feat_t], -1))
+            k1, k2 = jax.random.split(key)
+            zx_t = normal_sample(k1, em, es)
+            dec = self.dec(jnp.concatenate([h, self.phi_z(zx_t)], -1))
+            nll = self.head.nll(dec, x_t, k2)
+            kl = normal_kl(em, es, pm, ps)
+            return (h, c, zx_t), dict(kl=kl, nll=nll)
+
+        step_fn = jax.checkpoint(step) if self.remat else step
+        _, outs = jax.lax.scan(
+            step_fn, (h0, c0, z0x), (x_tm[1:], feats[:-1], feats[1:], keys)
+        )
+        kl_loss = jnp.sum(outs["kl"], axis=0)
+        nll_loss = jnp.sum(outs["nll"], axis=0)
+        return dict(
+            kl_free_bits=jnp.mean(batch_reduce(kl_loss)),
+            kl=jnp.mean(batch_reduce(kl_loss)),
+            nll=jnp.mean(nll_loss),
+        )
+
+    # ------------------------------------------------------------------
+    def predict(self, x, n_predictions: int, n_conditions: int, rng):
+        b = x.shape[0]
+        feats = self._features(x[:, :n_conditions])
+        h0, c0, _, z0x = self.get_inits(b)
+        kw, kr = jax.random.split(rng)
+
+        def warm(carry, xs):
+            h, c, zxprev = carry
+            feat_prev, feat_t, key = xs
+            lstm_in = jnp.concatenate([feat_prev, self.phi_z(zxprev)], -1)
+            h, c = self.lstm(lstm_in, h, c)
+            em, es = self.enc(jnp.concatenate([h, feat_t], -1))
+            zx_t = normal_sample(key, em, es)
+            return (h, c, zx_t), None
+
+        (h, c, zprev), _ = jax.lax.scan(
+            warm, (h0, c0, z0x),
+            (feats[:-1], feats[1:], jax.random.split(kw, n_conditions - 1)),
+        )
+        prediction = x[:, n_conditions - 1]
+
+        def step(carry, key):
+            h, c, zprev, pred = carry
+            ut = self.phi_x(pred)
+            lstm_in = jnp.concatenate([ut, self.phi_z(zprev)], -1)
+            h, c = self.lstm(lstm_in, h, c)
+            pm, ps = self.prior(h)
+            k1, k2 = jax.random.split(key)
+            z_t = normal_sample(k1, pm, ps)
+            dec = self.dec(jnp.concatenate([h, self.phi_z(z_t)], -1))
+            new_pred = self.head.decode(dec, k2)
+            return (h, c, z_t, new_pred), new_pred
+
+        _, preds = jax.lax.scan(
+            step, (h, c, zprev, prediction), jax.random.split(kr, n_predictions)
+        )
+        return x[:, :n_conditions].swapaxes(0, 1), preds
+
+    def reconstruct(self, x, rng):
+        b, t = x.shape[:2]
+        feats = self._features(x)
+        h0, c0, _, z0x = self.get_inits(b)
+        keys = jax.random.split(rng, t - 1)
+
+        def step(carry, xs):
+            h, c, zxprev = carry
+            feat_prev, feat_t, key = xs
+            lstm_in = jnp.concatenate([feat_prev, self.phi_z(zxprev)], -1)
+            h, c = self.lstm(lstm_in, h, c)
+            em, es = self.enc(jnp.concatenate([h, feat_t], -1))
+            k1, k2 = jax.random.split(key)
+            zx_t = normal_sample(k1, em, es)
+            dec = self.dec(jnp.concatenate([h, self.phi_z(zx_t)], -1))
+            return (h, c, zx_t), self.head.decode(dec, k2)
+
+        _, recons = jax.lax.scan(step, (h0, c0, z0x), (feats[:-1], feats[1:], keys))
+        return recons
+
+    def sample(self, x, n_samples: int, rng):
+        b = x.shape[0]
+        h, c, zprev, _ = self.get_inits(b)
+
+        def step(carry, key):
+            h, c, zprev, frame = carry
+            ut = self.phi_x(frame)
+            lstm_in = jnp.concatenate([ut, self.phi_z(zprev)], -1)
+            h, c = self.lstm(lstm_in, h, c)
+            pm, ps = self.prior(h)
+            k1, k2 = jax.random.split(key)
+            z_t = normal_sample(k1, pm, ps)
+            dec = self.dec(jnp.concatenate([h, self.phi_z(z_t)], -1))
+            s = self.head.decode(dec, k2)
+            return (h, c, z_t, s), s
+
+        _, samples = jax.lax.scan(
+            step, (h, c, zprev, x[:, 0]), jax.random.split(rng, n_samples)
+        )
+        return samples
+
+    def elbo_importance_weighting(self, x, K: int, rng):
+        """K-sample IW-ELBO (reference VRNN.py:366-428; corrected bound)."""
+        b, t = x.shape[:2]
+        feats = self._features(x)
+        h0, c0, _, z0x = self.get_inits(b)
+        x_tm = x.swapaxes(0, 1)
+        keys = jax.random.split(rng, t - 1)
+
+        def step(carry, xs):
+            h, c, zxprev = carry
+            x_t, feat_prev, feat_t, key = xs
+            lstm_in = jnp.concatenate([feat_prev, self.phi_z(zxprev)], -1)
+            h, c = self.lstm(lstm_in, h, c)
+            pm, ps = self.prior(h)
+            em, es = self.enc(jnp.concatenate([h, feat_t], -1))
+
+            def one_sample(k):
+                k1, k2 = jax.random.split(k)
+                zx = normal_sample(k1, em, es)
+                dec = self.dec(jnp.concatenate([h, self.phi_z(zx)], -1))
+                lpx = -self.head.nll(dec, x_t, k2)
+                lpz = jnp.sum(normal_log_prob(zx, pm, ps), -1)
+                lqzx = jnp.sum(normal_log_prob(zx, em, es), -1)
+                return lpx + lpz - lqzx, zx
+
+            ws, zs = jax.vmap(one_sample)(jax.random.split(key, K))
+            iw = jax.scipy.special.logsumexp(ws, axis=0) - jnp.log(float(K))
+            return (h, c, zs[0]), iw
+
+        _, iws = jax.lax.scan(step, (h0, c0, z0x), (x_tm[1:], feats[:-1], feats[1:], keys))
+        return -jnp.mean(jnp.sum(iws, axis=0))

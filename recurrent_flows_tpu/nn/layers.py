@@ -67,7 +67,7 @@ def deconv2d(features: int, name: str | None = None) -> nn.ConvTranspose:
         features,
         kernel_size=(4, 4),
         strides=(2, 2),
-        padding=((1, 1), (1, 1)),
+        padding="SAME",  # == torch ConvTranspose2d(k=4, s=2, p=1) geometry (2x)
         use_bias=False,
         name=name,
     )
