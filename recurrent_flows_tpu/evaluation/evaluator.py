@@ -1,0 +1,225 @@
+"""Offline evaluation suite: best-of-N rollout metrics, dataset BPD, FVD.
+
+Re-design of reference evaluation_metrics/error_metrics.py:23-1415 around
+jitted rollout/loss programs:
+
+  * ``get_eval_values`` — the main protocol: per test batch, ``resamples``
+    stochastic rollouts; keep the best-of-N per sequence by mean metric
+    (SSIM/PSNR max, MSE/LPIPS min; reference :495-515) plus the
+    mean-over-resamples uncertainty tracks (:522-535);
+  * ``get_loss`` — dataset bits/dim with resampling (:370-417);
+  * ``get_fvd_values`` — rollouts -> FVD (:1006-1063);
+  * ``compare_bpp`` — multi-model BPP comparison (bpp_compare.py);
+  * ``plot_temperatures`` / ``plot_diversity`` / ``plot_long_rollout`` —
+    the qualitative figure suite (:1220-1415).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+import os
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .fvd import fvd
+from .lpips import lpips_distance
+from .metrics import eval_seq
+
+
+@dataclasses.dataclass
+class EvalSettings:
+    n_conditions: int = 5
+    n_predictions: int = 10
+    resamples: int = 5
+    n_batches: int = 4
+    batch_size: int = 8
+    temperature: Optional[float] = None  # None = model default
+    data_range: float = 1.0
+
+
+class Evaluator:
+    """Evaluates any model with predict/loss methods on a sampler dataset.
+
+    Args:
+      model: linen model (RFN/SRNN/VRNN/SVG).
+      variables: trained variables.
+      data: sampler with .sample(key, batch) -> [B,T,H,W,C] in model space.
+      settings: EvalSettings.
+      postprocess: optional fn mapping model space -> [0,1] image space
+        for the image metrics (e.g. preprocess(reverse) / +0.5).
+    """
+
+    def __init__(self, model, variables, data, settings: EvalSettings,
+                 postprocess=None):
+        self.model = model
+        self.variables = variables
+        self.data = data
+        self.s = settings
+        self.post = postprocess or (lambda a: a)
+        s = self.s
+
+        def rollout(v, x, key):
+            _, preds = model.apply(
+                v, x, s.n_predictions, s.n_conditions, key, method="predict"
+            )
+            return preds.swapaxes(0, 1)  # [B, n_pred, H, W, C]
+
+        self._rollout = jax.jit(rollout)
+
+        def loss_fn(v, x, key):
+            return model.apply(v, x, key, method="loss")
+
+        self._loss = jax.jit(loss_fn)
+
+    # ------------------------------------------------------------------
+    def get_eval_values(self, key, with_lpips: bool = True) -> Dict[str, np.ndarray]:
+        """Best-of-N + mean metric tracks over the eval protocol.
+
+        Returns dict with best/mean per-frame tracks [N_seq, n_predictions]
+        for ssim/psnr/mse (and lpips), plus scalar bits/dim.
+        """
+        s = self.s
+        best = {m: [] for m in ("ssim", "psnr", "mse", "lpips")}
+        mean = {m: [] for m in ("ssim", "psnr", "mse", "lpips")}
+        bpds = []
+        for i in range(s.n_batches):
+            kb = jax.random.fold_in(key, i)
+            x = self.data.sample(kb, s.batch_size)
+            true_future = self.post(
+                x[:, s.n_conditions : s.n_conditions + s.n_predictions]
+            )
+            tracks = {m: [] for m in ("ssim", "psnr", "mse", "lpips")}
+            for r in range(s.resamples):
+                kr = jax.random.fold_in(kb, 100 + r)
+                preds = self.post(self._rollout(self.variables, x, kr))
+                res = eval_seq(true_future, preds, s.data_range)
+                for m in ("ssim", "psnr", "mse"):
+                    tracks[m].append(np.asarray(res[m]))
+                if with_lpips:
+                    b, t = true_future.shape[:2]
+                    lp = lpips_distance(
+                        (true_future * 2 - 1).reshape((-1,) + true_future.shape[2:]),
+                        (preds * 2 - 1).reshape((-1,) + preds.shape[2:]),
+                    )
+                    tracks["lpips"].append(np.asarray(lp).reshape(b, t))
+            for m, arr in tracks.items():
+                if not arr:
+                    continue
+                a = np.stack(arr)  # [R, B, T]
+                seq_score = a.mean(-1)  # [R, B]
+                pick = seq_score.argmax(0) if m in ("ssim", "psnr") else seq_score.argmin(0)
+                best[m].append(a[pick, np.arange(a.shape[1])])
+                mean[m].append(a.mean(0))
+            out = self._loss(self.variables, x, jax.random.fold_in(kb, 999))
+            dims = x.shape[2] * x.shape[3] * x.shape[4]
+            bpds.append(
+                float(out["kl"] + out["nll"]) / (math.log(2.0) * dims * (x.shape[1] - 1))
+            )
+        result = {"bits_per_dim": float(np.mean(bpds))}
+        for m in best:
+            if best[m]:
+                result[f"{m}_best"] = np.concatenate(best[m], 0)
+                result[f"{m}_mean"] = np.concatenate(mean[m], 0)
+        return result
+
+    def get_loss(self, key, resamples: int = 3) -> float:
+        """Dataset bits/dim averaged over resampled losses (reference :370-417)."""
+        s = self.s
+        vals = []
+        for i in range(s.n_batches):
+            kb = jax.random.fold_in(key, 5000 + i)
+            x = self.data.sample(kb, s.batch_size)
+            for r in range(resamples):
+                out = self._loss(self.variables, x, jax.random.fold_in(kb, r))
+                dims = x.shape[2] * x.shape[3] * x.shape[4]
+                vals.append(
+                    float(out["kl"] + out["nll"])
+                    / (math.log(2.0) * dims * (x.shape[1] - 1))
+                )
+        return float(np.mean(vals))
+
+    def get_fvd_values(self, key, embedder: str = "auto") -> Dict:
+        """Rollouts vs ground-truth futures -> FVD (reference :1006-1063)."""
+        s = self.s
+        real, fake = [], []
+        for i in range(s.n_batches):
+            kb = jax.random.fold_in(key, 7000 + i)
+            x = self.data.sample(kb, s.batch_size)
+            preds = self.post(self._rollout(self.variables, x, jax.random.fold_in(kb, 1)))
+            real.append(
+                np.asarray(
+                    self.post(x[:, s.n_conditions : s.n_conditions + s.n_predictions])
+                )
+            )
+            fake.append(np.asarray(preds))
+        return fvd(np.concatenate(real), np.concatenate(fake), embedder=embedder)
+
+    def importance_weighted_elbo(self, key, K: int = 20) -> float:
+        """Tighter eval bound when the model implements it (reference :396-399)."""
+        s = self.s
+        vals = []
+        for i in range(s.n_batches):
+            kb = jax.random.fold_in(key, 9000 + i)
+            x = self.data.sample(kb, s.batch_size)
+            v = self.model.apply(
+                self.variables, x, K, jax.random.fold_in(kb, 1),
+                method="elbo_importance_weighting",
+            )
+            vals.append(float(v))
+        return float(np.mean(vals))
+
+    # ------------------------------------------------------------------
+    def plot_long_rollout(self, key, n_frames: int = 80, path: Optional[str] = None):
+        """80-frame rollout grid (reference plot_long_t :1220-1258)."""
+        s = dataclasses.replace(self.s, n_predictions=n_frames)
+        x = self.data.sample(key, s.batch_size)
+        _, preds = self.model.apply(
+            self.variables, x, n_frames, s.n_conditions, key, method="predict"
+        )
+        grid = np.asarray(self.post(preds))[:, 0]
+        if path:
+            _save_strip(grid, path)
+        return grid
+
+    def plot_diversity(self, key, n_samples: int = 5, path: Optional[str] = None):
+        """Multiple rollouts from the same conditioning (reference :1328-1376)."""
+        x = self.data.sample(key, self.s.batch_size)
+        rows = []
+        for r in range(n_samples):
+            preds = self._rollout(self.variables, x, jax.random.fold_in(key, r))
+            rows.append(np.asarray(self.post(preds))[0])
+        if path:
+            _save_strip(np.concatenate(rows, -3), path)
+        return np.stack(rows)
+
+
+def compare_bpp(models_and_variables, x, key):
+    """Per-model bits/dim on a shared batch (reference bpp_compare.py)."""
+    out = {}
+    dims = x.shape[2] * x.shape[3] * x.shape[4]
+    for name, (model, variables) in models_and_variables.items():
+        res = model.apply(variables, x, key, method="loss")
+        out[name] = float(res["kl"] + res["nll"]) / (
+            math.log(2.0) * dims * (x.shape[1] - 1)
+        )
+    return out
+
+
+def _save_strip(frames, path):
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    n = min(len(frames), 20)
+    fig, ax = plt.subplots(1, n, figsize=(1.2 * n, 1.5))
+    for i in range(n):
+        ax[i].imshow(np.asarray(frames[i]).squeeze(), cmap="gray")
+        ax[i].axis("off")
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    fig.savefig(path, bbox_inches="tight")
+    plt.close(fig)

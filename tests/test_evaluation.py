@@ -1,0 +1,121 @@
+"""Evaluation suite tests: metrics, FVD, LPIPS proxy, Evaluator protocol,
+linear baseline."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from recurrent_flows_tpu.data import MovingMNIST
+from recurrent_flows_tpu.evaluation import (
+    Evaluator,
+    eval_seq,
+    frechet_distance,
+    fvd,
+    lpips_distance,
+    mse,
+    psnr,
+    ssim,
+)
+from recurrent_flows_tpu.evaluation.averagemodel import SimpleLinearModel
+from recurrent_flows_tpu.evaluation.evaluator import EvalSettings, compare_bpp
+from recurrent_flows_tpu.models import RFN
+
+from test_rfn import tiny_cfg  # noqa: E402
+
+
+def test_ssim_psnr_basics():
+    a = jax.random.uniform(jax.random.key(0), (2, 32, 32))
+    assert np.allclose(np.asarray(ssim(a, a)), 1.0, atol=1e-5)
+    noisy = jnp.clip(a + 0.2 * jax.random.normal(jax.random.key(1), a.shape), 0, 1)
+    s = np.asarray(ssim(a, noisy))
+    assert np.all(s < 1.0) and np.all(s > -1.0)
+    p_same = np.asarray(psnr(a, a))
+    assert np.all(p_same > 60)
+    assert np.all(np.asarray(psnr(a, noisy)) < p_same)
+    assert np.all(np.asarray(mse(a, noisy)) > 0)
+
+
+def test_ssim_matches_skimage_if_available():
+    try:
+        from skimage.metrics import structural_similarity as sk_ssim
+    except ImportError:
+        import pytest
+
+        pytest.skip("scikit-image not installed")
+    a = np.random.RandomState(0).rand(1, 32, 32).astype(np.float32)
+    b = np.random.RandomState(1).rand(1, 32, 32).astype(np.float32)
+    ours = float(ssim(jnp.asarray(a), jnp.asarray(b), data_range=1.0)[0])
+    ref = sk_ssim(a[0], b[0], data_range=1.0)
+    np.testing.assert_allclose(ours, ref, atol=1e-4)
+
+
+def test_frechet_distance_properties():
+    rng = np.random.RandomState(0)
+    f1 = rng.randn(500, 16)
+    f2 = rng.randn(500, 16) + 2.0
+    mu1, s1 = f1.mean(0), np.cov(f1, rowvar=False)
+    mu2, s2 = f2.mean(0), np.cov(f2, rowvar=False)
+    d_self = frechet_distance(mu1, s1, mu1, s1)
+    d_shift = frechet_distance(mu1, s1, mu2, s2)
+    assert abs(d_self) < 1e-6
+    assert d_shift > 16 * 3  # ~ ||2||^2 per dim
+
+
+def test_fvd_proxy_orders_distributions():
+    key = jax.random.key(0)
+    real = jax.random.uniform(key, (24, 4, 16, 16, 1))
+    close = jnp.clip(real + 0.05 * jax.random.normal(key, real.shape), 0, 1)
+    far = jnp.zeros_like(real)
+    d_close = fvd(real, close, embedder="random3d")["fvd"]
+    d_far = fvd(real, far, embedder="random3d")["fvd"]
+    assert d_close < d_far
+
+
+def test_lpips_proxy_orders_perturbations():
+    a = jax.random.uniform(jax.random.key(0), (4, 32, 32, 1)) * 2 - 1
+    near = jnp.clip(a + 0.05 * jax.random.normal(jax.random.key(1), a.shape), -1, 1)
+    far = jnp.clip(a + 0.8 * jax.random.normal(jax.random.key(2), a.shape), -1, 1)
+    d0 = np.asarray(lpips_distance(a, a))
+    d1 = np.asarray(lpips_distance(a, near))
+    d2 = np.asarray(lpips_distance(a, far))
+    assert np.all(d0 < 1e-6)
+    assert d1.mean() < d2.mean()
+
+
+def test_evaluator_protocol_and_compare_bpp():
+    cfg = tiny_cfg()
+    model = RFN(cfg, remat=False)
+    ds = MovingMNIST(seq_len=6, image_size=16, digit_size=8, num_digits=1)
+    x = ds.sample(jax.random.key(0), 2) - 0.5
+    v = model.init(jax.random.key(1), x, jax.random.key(2))
+
+    class Shifted:
+        def sample(self, key, bs):
+            return ds.sample(key, bs) - 0.5
+
+    ev = Evaluator(
+        model, v, Shifted(),
+        EvalSettings(n_conditions=2, n_predictions=3, resamples=2, n_batches=1,
+                     batch_size=2),
+        postprocess=lambda a: jnp.clip(a + 0.5, 0, 1),
+    )
+    res = ev.get_eval_values(jax.random.key(3), with_lpips=True)
+    assert "ssim_best" in res and res["ssim_best"].shape == (2, 3)
+    # best-of-N dominates the mean track
+    assert res["ssim_best"].mean() >= res["ssim_mean"].mean() - 1e-6
+    assert np.isfinite(res["bits_per_dim"])
+    assert np.isfinite(ev.get_loss(jax.random.key(4), resamples=1))
+    f = ev.get_fvd_values(jax.random.key(5), embedder="random3d")
+    assert np.isfinite(f["fvd"])
+    bpp = compare_bpp({"rfn": (model, v)}, x, jax.random.key(6))
+    assert np.isfinite(bpp["rfn"])
+
+
+def test_average_model_baseline():
+    ds = MovingMNIST(seq_len=8, image_size=16, digit_size=8, num_digits=1)
+    m = SimpleLinearModel(n_conditions=3)
+    final_loss = m.fit(ds, jax.random.key(0), steps=30, batch_size=8, seq_len=8)
+    assert np.isfinite(final_loss)
+    res = m.evaluate(ds, jax.random.key(1), n_predictions=4, batch_size=8)
+    assert res["ssim"].shape == (4,)
+    assert np.all(np.isfinite(res["ssim"]))
