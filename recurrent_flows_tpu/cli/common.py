@@ -1,0 +1,145 @@
+"""Shared CLI plumbing: the reference's argparse house conventions.
+
+Paired boolean flags (--x / --no-x), the [0,1] restricted float, and the
+hyphen-separated structure DSL (reference main_rfn.py:20-47), plus shared
+data/trainer flag groups and dataset construction.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from ..config import TrainConfig, parse_block
+
+
+def add_bool_arg(parser, name, help="", default=False):
+    group = parser.add_mutually_exclusive_group(required=False)
+    group.add_argument("--" + name, dest=name, action="store_true", help=help)
+    group.add_argument("--no-" + name, dest=name, action="store_false", help=help)
+    parser.set_defaults(**{name: default})
+
+
+def restricted_float(x):
+    x = float(x)
+    if x < 0.0 or x > 1.0:
+        raise argparse.ArgumentTypeError(f"{x!r} not in range [0.0, 1.0]")
+    return x
+
+
+def convert_mixed_list(x):
+    return int(x) if str(x).isdigit() else x
+
+
+def convert_to_upscaler(x):
+    return parse_block(x)
+
+
+def add_data_args(p):
+    p.add_argument("--batch_size", type=int, default=32)
+    p.add_argument("--n_frames", type=int, default=10)
+    p.add_argument("--choose_data", choices=["mnist", "bair", "kth", "shapes"],
+                   default="mnist")
+    p.add_argument("--image_size", type=int, default=64)
+    p.add_argument("--digit_size", type=int, default=32)
+    p.add_argument("--step_length", type=int, default=4)
+    p.add_argument("--num_digits", type=int, default=2)
+    p.add_argument("--data_root", type=str, default="./data")
+    add_bool_arg(p, "use_validation_set", default=False)
+
+
+def add_trainer_args(p):
+    p.add_argument("--scheduler_type", choices=["plateau", "linear"], default="plateau")
+    p.add_argument("--patience_es", type=int, default=50_000_000)
+    p.add_argument("--patience_lr", type=int, default=10_000_000)
+    p.add_argument("--factor_lr", type=restricted_float, default=0.9999)
+    p.add_argument("--min_lr", type=float, default=5e-5)
+    p.add_argument("--n_bits", type=int, default=8)
+    p.add_argument("--n_epochs", type=int, default=100)
+    p.add_argument("--steps_per_epoch", type=int, default=1875)
+    p.add_argument("--path", type=str, default="./runs/exp")
+    p.add_argument("--learning_rate", type=float, default=1e-4)
+    p.add_argument("--preprocess_range", choices=["0.5", "1.0", "none", "minmax"],
+                   default="0.5")
+    p.add_argument("--preprocess_scale", type=int, default=255)
+    p.add_argument("--beta_max", type=float, default=1.0)
+    p.add_argument("--beta_min", type=float, default=1e-7)
+    p.add_argument("--beta_steps", type=int, default=12_000)
+    p.add_argument("--n_predictions", type=int, default=7)
+    p.add_argument("--n_conditions", type=int, default=3)
+    p.add_argument("--seed", type=int, default=0)
+    add_bool_arg(p, "multigpu", default=False,
+                 help="shard the batch over all local devices (SPMD mesh)")
+    add_bool_arg(p, "load_model", default=False)
+    add_bool_arg(p, "verbose", default=False)
+
+
+def train_config_from_args(args) -> TrainConfig:
+    return TrainConfig(
+        batch_size=args.batch_size,
+        n_frames=args.n_frames,
+        choose_data=args.choose_data,
+        digit_size=args.digit_size,
+        step_length=args.step_length,
+        num_digits=args.num_digits,
+        n_bits=args.n_bits,
+        preprocess_range=args.preprocess_range,
+        preprocess_scale=args.preprocess_scale,
+        learning_rate=args.learning_rate,
+        scheduler_type=args.scheduler_type,
+        patience_lr=args.patience_lr,
+        factor_lr=args.factor_lr,
+        min_lr=args.min_lr,
+        patience_es=args.patience_es,
+        beta_max=args.beta_max,
+        beta_min=args.beta_min,
+        beta_steps=args.beta_steps,
+        n_epochs=args.n_epochs,
+        steps_per_epoch=args.steps_per_epoch,
+        n_predictions=args.n_predictions,
+        n_conditions=args.n_conditions,
+        seed=args.seed,
+    )
+
+
+def build_dataset(args, train: bool = True):
+    from ..data import KTH, MovingMNIST, MovingShapes, PushDataset
+
+    if args.choose_data == "mnist":
+        return MovingMNIST(
+            train=train,
+            data_root=args.data_root,
+            seq_len=args.n_frames,
+            image_size=args.image_size,
+            digit_size=args.digit_size,
+            num_digits=args.num_digits,
+            step_length=args.step_length,
+            deterministic=False,
+        )
+    if args.choose_data == "shapes":
+        return MovingShapes(seq_len=args.n_frames, image_size=args.image_size)
+    if args.choose_data == "kth":
+        return KTH(train=train, data_root=args.data_root, seq_len=args.n_frames,
+                   image_size=args.image_size, batch_size=args.batch_size)
+    if args.choose_data == "bair":
+        return PushDataset(split="train" if train else "test",
+                           dataset_dir=args.data_root, seq_len=args.n_frames,
+                           batch_size=args.batch_size)
+    raise ValueError(args.choose_data)
+
+
+def run_training(model, args, x_channels: int):
+    import jax
+
+    from ..parallel import make_mesh
+    from ..training import Trainer
+
+    tcfg = train_config_from_args(args)
+    data = build_dataset(args, train=True)
+    test_data = build_dataset(args, train=False)
+    mesh = make_mesh() if args.multigpu and len(jax.devices()) > 1 else None
+    tr = Trainer(model, tcfg, data, args.path, test_data=test_data, mesh=mesh)
+    tr.build()
+    if args.load_model:
+        tr.load("last")
+    tr.fit()
+    return tr

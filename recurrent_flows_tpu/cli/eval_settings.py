@@ -1,0 +1,163 @@
+"""Offline evaluation CLI (reference evaluation_metrics/eval_settings.py).
+
+Loads a checkpoint directory written by the Trainer, rebuilds the model
+from the frozen config (model class selected from the stored class name,
+like the reference picks a Solver from the checkpoint filename, :18-27),
+and runs the evaluation protocol: FVD, dataset BPD, best-of-N metric
+tracks, qualitative plots, optional temperature sweep. Saves
+``evaluations.json`` + ``eval_avg_losses.txt`` + figures.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import (
+    RFNConfig,
+    SRNNConfig,
+    SVGConfig,
+    TrainConfig,
+    VRNNConfig,
+    config_from_dict,
+)
+from ..evaluation.evaluator import EvalSettings, Evaluator
+from ..training.checkpoint import load_checkpoint
+from ..training.trainer import preprocess
+from .common import add_bool_arg
+
+_MODEL_REGISTRY = {
+    "RFN": ("recurrent_flows_tpu.models", "RFN", RFNConfig),
+    "SRNN": ("recurrent_flows_tpu.models", "SRNN", SRNNConfig),
+    "VRNN": ("recurrent_flows_tpu.models", "VRNN", VRNNConfig),
+    "SVG": ("recurrent_flows_tpu.models", "SVG", SVGConfig),
+}
+
+
+def load_model_from_checkpoint(ckpt_dir: str, temperature=None):
+    import importlib
+
+    state, meta = load_checkpoint(ckpt_dir)
+    modname, clsname, cfgcls = _MODEL_REGISTRY[meta["model_class"]]
+    cfg = config_from_dict(cfgcls, meta["model_config"])
+    if temperature is not None and hasattr(cfg, "temperature"):
+        cfg = dataclasses.replace(cfg, temperature=temperature)
+    model = getattr(importlib.import_module(modname), clsname)(cfg)
+    variables = {
+        "params": jax.tree.map(jnp.asarray, state["params"]),
+        "consts": jax.tree.map(jnp.asarray, state.get("consts", {}) or {}),
+    }
+    tcfg = config_from_dict(TrainConfig, meta["train_config"])
+    return model, variables, tcfg, meta
+
+
+def build_parser():
+    p = argparse.ArgumentParser("eval_settings")
+    p.add_argument("--path", required=True, help="trainer workdir")
+    p.add_argument("--checkpoint", default="last", choices=["last", "best"])
+    p.add_argument("--n_conditions", type=int, default=5)
+    p.add_argument("--n_predictions", type=int, default=10)
+    p.add_argument("--resamples", type=int, default=5)
+    p.add_argument("--n_batches", type=int, default=4)
+    p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--temperature", type=float, default=None)
+    p.add_argument("--temperatures", nargs="*", type=float, default=None,
+                   help="temperature sweep mode")
+    p.add_argument("--fvd_embedder", default="auto",
+                   choices=["auto", "i3d", "random3d"])
+    add_bool_arg(p, "use_fvd", default=True)
+    add_bool_arg(p, "use_lpips", default=True)
+    add_bool_arg(p, "debug_plot", default=True)
+    return p
+
+
+def _evaluate_once(model, variables, tcfg, args, out_dir, temperature=None):
+    from .common import build_dataset
+
+    class _Args:
+        pass
+
+    # dataset from the frozen train config
+    da = _Args()
+    da.choose_data = tcfg.choose_data
+    da.n_frames = max(tcfg.n_frames, args.n_conditions + args.n_predictions)
+    da.image_size = getattr(model.cfg, "image_size", 64)
+    da.digit_size = tcfg.digit_size
+    da.num_digits = tcfg.num_digits
+    da.step_length = tcfg.step_length
+    da.data_root = "./data"
+    da.batch_size = args.batch_size
+    raw = build_dataset(da, train=False)
+
+    class ModelSpaceData:
+        def sample(self, key, bs):
+            x = raw.sample(key, bs) if hasattr(raw, "sample") else jnp.asarray(
+                raw.sample_numpy(bs)
+            )
+            return preprocess(x, tcfg.n_bits, tcfg.preprocess_range,
+                              tcfg.preprocess_scale)
+
+    def post(a):
+        if tcfg.preprocess_range == "0.5":
+            return jnp.clip(a + 0.5, 0.0, 1.0)
+        if tcfg.preprocess_range == "minmax":
+            return jnp.clip((a + 1) * 0.5, 0.0, 1.0)
+        return jnp.clip(a, 0.0, 1.0)
+
+    settings = EvalSettings(
+        n_conditions=args.n_conditions,
+        n_predictions=args.n_predictions,
+        resamples=args.resamples,
+        n_batches=args.n_batches,
+        batch_size=args.batch_size,
+        temperature=temperature,
+    )
+    ev = Evaluator(model, variables, ModelSpaceData(), settings, postprocess=post)
+    key = jax.random.key(0)
+    results = {}
+    vals = ev.get_eval_values(key, with_lpips=args.use_lpips)
+    for k, v in vals.items():
+        results[k] = v.tolist() if isinstance(v, np.ndarray) else v
+    results["dataset_bpd"] = ev.get_loss(key)
+    if args.use_fvd:
+        results["fvd"] = ev.get_fvd_values(key, embedder=args.fvd_embedder)
+    if hasattr(type(model), "elbo_importance_weighting"):
+        results["iw_elbo_k20"] = ev.importance_weighted_elbo(key, K=20)
+    if args.debug_plot:
+        ev.plot_long_rollout(key, 40, os.path.join(out_dir, "long_rollout.png"))
+        ev.plot_diversity(key, 4, os.path.join(out_dir, "diversity.png"))
+    return results
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    ckpt_dir = os.path.join(args.path, "model_folder", args.checkpoint)
+    out_dir = os.path.join(args.path, "eval")
+    os.makedirs(out_dir, exist_ok=True)
+
+    temps = args.temperatures or [args.temperature]
+    all_results = {}
+    for t in temps:
+        model, variables, tcfg, meta = load_model_from_checkpoint(ckpt_dir, t)
+        res = _evaluate_once(model, variables, tcfg, args, out_dir, t)
+        all_results[str(t)] = res
+    payload = all_results if args.temperatures else next(iter(all_results.values()))
+    with open(os.path.join(out_dir, "evaluations.json"), "w") as f:
+        json.dump(payload, f, indent=2, default=float)
+    with open(os.path.join(out_dir, "eval_avg_losses.txt"), "a") as f:
+        for t, res in all_results.items():
+            f.write(f"temp={t} bpd={res.get('dataset_bpd')} "
+                    f"fvd={res.get('fvd')}\n")
+    print(json.dumps({k: v for k, v in payload.items()
+                      if not isinstance(v, list)}, default=float))
+    return payload
+
+
+if __name__ == "__main__":
+    main()

@@ -38,6 +38,27 @@ def parse_structure(specs) -> Tuple[Block, ...]:
     return tuple(blocks)
 
 
+def _tuplify(v):
+    if isinstance(v, list):
+        return tuple(_tuplify(x) for x in v)
+    return v
+
+
+def config_from_dict(cls, d: dict):
+    """Rebuild a (possibly nested) frozen config from its asdict() JSON form."""
+    kwargs = {}
+    for f in dataclasses.fields(cls):
+        if f.name not in d:
+            continue
+        v = d[f.name]
+        if f.name == "glow" and isinstance(v, dict):
+            v = config_from_dict(GlowConfig, v)
+        else:
+            v = _tuplify(v)
+        kwargs[f.name] = v
+    return cls(**kwargs)
+
+
 # --------------------------------------------------------------------------
 # Flow (Glow) config — reference main_rfn.py:162-181
 # --------------------------------------------------------------------------

@@ -265,7 +265,13 @@ class Trainer:
     # -- persistence ----------------------------------------------------------
 
     def checkpoint(self, name: str):
+        import dataclasses as _dc
+
+        model_cfg = getattr(self.model, "cfg", None)
         meta = dict(
+            model_class=type(self.model).__name__,
+            model_config=_dc.asdict(model_cfg) if _dc.is_dataclass(model_cfg) else None,
+            train_config=_dc.asdict(self.tcfg),
             epoch=self.epoch_i,
             counter=self.counter,
             plot_counter=self.plot_counter,

@@ -1,0 +1,65 @@
+"""CLI smoke tests: tiny end-to-end train + eval through the real entry points."""
+
+import json
+import os
+import sys
+
+import numpy as np
+import pytest
+
+from recurrent_flows_tpu.cli import eval_settings as eval_cli
+from recurrent_flows_tpu.cli import main_rfn, main_srnn, main_svg, main_vrnn
+
+_TINY_COMMON = [
+    "--choose_data", "mnist",
+    "--image_size", "16",
+    "--digit_size", "8",
+    "--num_digits", "1",
+    "--batch_size", "2",
+    "--n_frames", "3",
+    "--n_epochs", "1",
+    "--steps_per_epoch", "2",
+    "--n_conditions", "2",
+    "--n_predictions", "2",
+    "--no-verbose",
+]
+
+_TINY_RFN = _TINY_COMMON + [
+    "--h_dim", "8", "--z_dim", "2", "--a_dim", "4", "--L", "2", "--K", "2",
+    "--extractor_structure", "4-pool-8", "8-pool-8",
+    "--upscaler_structure", "8", "upsample-4",
+    "--prior_structure", "4", "--encoder_structure", "4",
+    "--n_units_affine", "8", "--n_units_prior", "8",
+    "--norm_type_features", "none",
+]
+
+
+def test_main_rfn_and_eval(tmp_path):
+    path = str(tmp_path / "rfn")
+    tr = main_rfn.main(_TINY_RFN + ["--path", path])
+    assert os.path.exists(os.path.join(path, "model_folder", "last", "meta.json"))
+    res = eval_cli.main([
+        "--path", path, "--n_conditions", "2", "--n_predictions", "2",
+        "--resamples", "2", "--n_batches", "1", "--batch_size", "2",
+        "--fvd_embedder", "random3d", "--no-debug_plot",
+    ])
+    assert np.isfinite(res["dataset_bpd"])
+    assert "fvd" in res
+    # resume path: load_model restores counters
+    tr2 = main_rfn.main(_TINY_RFN + ["--path", path, "--load_model"])
+    assert tr2.counter >= tr.counter
+
+
+@pytest.mark.parametrize("mod,extra", [
+    (main_srnn, ["--h_dim", "8", "--z_dim", "4", "--a_dim", "8",
+                 "--norm_type_model", "none", "--no-enable_smoothing",
+                 "--preprocess_range", "1.0"]),
+    (main_vrnn, ["--h_dim", "8", "--z_dim", "4", "--norm_type_model", "none",
+                 "--preprocess_range", "1.0"]),
+    (main_svg, ["--z_dim", "4", "--c_features", "8", "--h_dim", "8",
+                "--norm_type_model", "none"]),
+])
+def test_other_mains(tmp_path, mod, extra):
+    path = str(tmp_path / "run")
+    tr = mod.main(_TINY_COMMON + extra + ["--path", path])
+    assert np.isfinite(tr.losses[-1])
