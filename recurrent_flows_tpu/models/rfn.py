@@ -422,6 +422,178 @@ class RFN(nn.Module):
         )
         return recons, recons_flow
 
+    # ------------------------------------------------------------------
+    # Diagnostics (reference RFN/RFN_new.py:496-788)
+    # ------------------------------------------------------------------
+    def _posterior_scan(self, x, rng, kl_temperature: float = 1.0):
+        """Shared machinery: run the full posterior/prior chain over x,
+        returning per-step distribution params, samples, h's and feature
+        skips (time-major)."""
+        cfg = self.cfg
+        b, t = x.shape[:2]
+        feats, f_last = self._features(x)
+        hs, _, _ = self._unroll_h(f_last, b)
+        if cfg.enable_smoothing:
+            as_ = self._unroll_a(hs, f_last, b)
+        else:
+            as_ = jnp.zeros((t - 1, b, 1, 1, 1))
+        _, _, _, _, z0, z0x = self.get_inits(b)
+        keys = jax.random.split(rng, t - 1)
+
+        def step(carry, xs):
+            zprev, zxprev = carry
+            ht, at, feat_t, key = xs
+            if cfg.enable_smoothing:
+                enc_in = jnp.concatenate([at, zxprev], axis=-1)
+            else:
+                enc_in = jnp.concatenate([ht, zxprev, feat_t], axis=-1)
+            enc_mean, enc_std = self.encoder(enc_in)
+            if cfg.res_q:
+                prior_mean, prior_std = self.prior(jnp.concatenate([ht, zxprev], -1))
+                enc_mean = prior_mean + enc_mean
+            else:
+                prior_mean, prior_std = self.prior(jnp.concatenate([ht, zprev], -1))
+            k1, k2 = jax.random.split(key)
+            zt = normal_sample(k1, prior_mean, prior_std * kl_temperature)
+            zxt = normal_sample(k2, enc_mean, enc_std)
+            out = dict(prior_mean=prior_mean, prior_std=prior_std,
+                       enc_mean=enc_mean, enc_std=enc_std, zt=zt, zxt=zxt)
+            return (zt, zxt), out
+
+        _, outs = jax.lax.scan(step, (z0, z0x), (hs, as_, f_last[1:], keys))
+        return outs, hs, feats
+
+    def param_analysis(self, x, rng):
+        """Prior/posterior/base-dist parameter trajectories + predictions.
+
+        Returns dict(mu_p, std_p, mu_q, std_q, mu_flow, std_flow,
+        predictions), all time-major — reference RFN/RFN_new.py:496-588,
+        consumed by the evaluator's param_plots with the synchronized
+        MovingMNIST hit_boundary channel.
+        """
+        outs, hs, feats = self._posterior_scan(x, rng)
+        t1 = hs.shape[0]
+        keys = jax.random.split(jax.random.fold_in(rng, 1), t1)
+        skips_prev = ([f[:-1] for f in feats] if feats is not None
+                      else jnp.zeros((t1, 1)))
+
+        def step(_, xs):
+            ht, zxt, zt, sk_prev, key = xs
+            conds, _ = self._flow_conditions(
+                ht, zxt, sk_prev if feats is not None else None
+            )
+            base = jnp.concatenate([ht, zt], axis=-1)
+            pred, (mu_f, std_f) = self.flow.sample(
+                None, conds, base, key, temperature=1.0, eval_params=True
+            )
+            return 0, dict(pred=pred, mu_flow=mu_f, std_flow=std_f)
+
+        _, flow_outs = jax.lax.scan(
+            step, 0, (hs, outs["zxt"], outs["zt"], skips_prev, keys)
+        )
+        return dict(
+            mu_p=outs["prior_mean"], std_p=outs["prior_std"],
+            mu_q=outs["enc_mean"], std_q=outs["enc_std"],
+            mu_flow=flow_outs["mu_flow"], std_flow=flow_outs["std_flow"],
+            predictions=flow_outs["pred"],
+        )
+
+    def probability_future(self, x, n_conditions: int, rng):
+        """NLL of each future frame under the frozen context at t=n_conditions,
+        for both the prior and posterior latents.
+
+        Returns [B, 2, T - n_conditions] (0=prior z, 1=posterior z) —
+        reference RFN/RFN_new.py:590-685.
+        """
+        t = x.shape[1]
+        outs, hs, feats = self._posterior_scan(x[:, :n_conditions], rng)
+        ht = hs[-1]
+        zt, zxt = outs["zt"][-1], outs["zxt"][-1]
+        sk = [f[n_conditions - 2] for f in feats] if feats is not None else None
+        futures = x.swapaxes(0, 1)[n_conditions:]
+        keys = jax.random.split(jax.random.fold_in(rng, 2), futures.shape[0])
+
+        def nll_for(zk):
+            conds, _ = self._flow_conditions(ht, zk, sk)
+            base = jnp.concatenate([ht, zk], axis=-1)
+
+            def step(_, xs):
+                x_t, key = xs
+                _, nll = self.flow.log_prob(x_t, conds, base, key)
+                return 0, nll
+
+            _, nlls = jax.lax.scan(step, 0, (futures, keys))
+            return nlls  # [T - n_cond, B]
+
+        prior_nll = nll_for(zt)
+        post_nll = nll_for(zxt)
+        return jnp.stack([prior_nll, post_nll], axis=0).transpose(2, 0, 1)
+
+    def reconstruct_elbo_gap(self, x, rng, sample: bool = True):
+        """Per-frame NLL under prior vs posterior latents + per-frame KL.
+
+        Returns (recons, recons_flow, kld_seq [T-1,B], nll_seq [2,T-1,B])
+        — the amortization/prior-mismatch diagnostic, reference
+        RFN/RFN_new.py:687-788.
+        """
+        outs, hs, feats = self._posterior_scan(x, rng)
+        t1 = hs.shape[0]
+        x_tm = x.swapaxes(0, 1)
+        keys = jax.random.split(jax.random.fold_in(rng, 3), t1)
+        skips_prev = ([f[:-1] for f in feats] if feats is not None
+                      else jnp.zeros((t1, 1)))
+        kld = jnp.sum(
+            normal_kl(outs["enc_mean"], outs["enc_std"],
+                      outs["prior_mean"], outs["prior_std"]),
+            axis=(2, 3, 4),
+        )  # [T-1, B]
+
+        def step(_, xs):
+            x_t, ht, zt, zxt, sk_prev, key = xs
+            res = []
+            recs = []
+            for zk, kk in ((zt, 0), (zxt, 1)):
+                conds, _ = self._flow_conditions(
+                    ht, zk, sk_prev if feats is not None else None
+                )
+                base = jnp.concatenate([ht, zk], axis=-1)
+                k1, k2, k3 = jax.random.split(jax.random.fold_in(key, kk), 3)
+                z, nll = self.flow.log_prob(x_t, conds, base, k1)
+                res.append(nll)
+                if sample:
+                    rf = self.flow.sample(z, conds, base, k2,
+                                          temperature=self.cfg.temperature)
+                    rp = self.flow.sample(None, conds, base, k3,
+                                          temperature=self.cfg.temperature)
+                    recs.append((rp, rf))
+            out = dict(nll=jnp.stack(res))
+            if sample:
+                out["recons"] = jnp.stack([r[0] for r in recs])
+                out["recons_flow"] = jnp.stack([r[1] for r in recs])
+            return 0, out
+
+        _, o = jax.lax.scan(
+            step, 0, (x_tm[1:], hs, outs["zt"], outs["zxt"], skips_prev, keys)
+        )
+        recons = o.get("recons")
+        recons_flow = o.get("recons_flow")
+        return recons, recons_flow, kld, o["nll"].transpose(1, 0, 2)
+
+    def get_zt_ht_from_seq(self, x, n_conditions: int, rng):
+        """(z_t, h_t) context at the end of a conditioning prefix — the
+        latent-interpolation support API (legacy reference RFN/RFN.py:225-287,
+        used by the evaluator's get_interpolations)."""
+        outs, hs, feats = self._posterior_scan(x[:, :n_conditions], rng)
+        sk = [f[n_conditions - 2] for f in feats] if feats is not None else None
+        return outs["zxt"][-1], hs[-1], sk
+
+    def predicts_from_zt_ht(self, zt, ht, skips, rng):
+        """Decode a frame from an explicit (z_t, h_t) pair (for latent
+        interpolation grids)."""
+        conds, base = self._flow_conditions(ht, zt, skips)
+        return self.flow.sample(None, conds, base, rng,
+                                temperature=self.cfg.temperature)
+
     def sample(self, x, n_samples: int, rng):
         """Free-running prior rollout seeded by frame 0 (reference :453-494)."""
         cfg = self.cfg
