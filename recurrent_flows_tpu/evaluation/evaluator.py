@@ -185,6 +185,82 @@ class Evaluator:
             _save_strip(grid, path)
         return grid
 
+    def get_interpolations(self, key, n_alphas: int = 8, n_conditions: int = 4,
+                           path: Optional[str] = None):
+        """Latent (z_t, h_t) linear interpolation between two sequences.
+
+        Reference error_metrics.py:272-356 (uses the legacy RFN
+        get_zt_ht_from_seq / predicts_from_zt_ht API). Returns the decoded
+        frame grid [n_alphas, B, H, W, C].
+        """
+        if not hasattr(type(self.model), "get_zt_ht_from_seq"):
+            raise NotImplementedError("model has no latent interpolation API")
+        k1, k2, k3 = jax.random.split(key, 3)
+        x1 = self.data.sample(k1, self.s.batch_size)
+        x2 = self.data.sample(k2, self.s.batch_size)
+        z1, h1, skips = self.model.apply(
+            self.variables, x1, n_conditions, k3, method="get_zt_ht_from_seq"
+        )
+        z2, h2, _ = self.model.apply(
+            self.variables, x2, n_conditions, k3, method="get_zt_ht_from_seq"
+        )
+        frames = []
+        for i, a in enumerate(np.linspace(0.0, 1.0, n_alphas)):
+            zi = (1 - a) * z1 + a * z2
+            hi = (1 - a) * h1 + a * h2
+            f = self.model.apply(
+                self.variables, zi, hi, skips, jax.random.fold_in(key, i),
+                method="predicts_from_zt_ht",
+            )
+            frames.append(np.asarray(self.post(f)))
+        grid = np.stack(frames)
+        if path:
+            _save_strip(grid[:, 0], path)
+        return grid
+
+    def param_plots(self, sync_data, key, path: Optional[str] = None):
+        """Prior/posterior/base parameter trajectories on synchronized data.
+
+        ``sync_data``: sampler returning (x, hit_boundary) — the
+        synchronized MovingMNIST fixture. Plots mean trajectories with
+        vertical lines at bounce events (reference :1069-1218). Returns the
+        raw trajectory dict.
+        """
+        if not hasattr(type(self.model), "param_analysis"):
+            raise NotImplementedError("model has no param_analysis")
+        x, hits = sync_data.sample(key, self.s.batch_size)
+        x = self._to_model_space(x)
+        out = self.model.apply(self.variables, x, key, method="param_analysis")
+        traj = {
+            k: np.asarray(v).reshape(v.shape[0], -1).mean(-1)
+            for k, v in out.items() if k != "predictions"
+        }
+        traj["hit_boundary"] = np.asarray(hits)[0]
+        if path:
+            import matplotlib
+
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+
+            fig, ax = plt.subplots(2, 1, figsize=(8, 6), sharex=True)
+            for name in ("mu_p", "mu_q", "mu_flow"):
+                ax[0].plot(traj[name], label=name)
+            for name in ("std_p", "std_q", "std_flow"):
+                ax[1].plot(traj[name], label=name)
+            for a in ax:
+                for t, hit in enumerate(traj["hit_boundary"][1:]):
+                    if hit:
+                        a.axvline(t, color="gray", alpha=0.4)
+                a.legend()
+                a.grid()
+            os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+            fig.savefig(path, bbox_inches="tight")
+            plt.close(fig)
+        return traj
+
+    def _to_model_space(self, x):
+        return x
+
     def plot_diversity(self, key, n_samples: int = 5, path: Optional[str] = None):
         """Multiple rollouts from the same conditioning (reference :1328-1376)."""
         x = self.data.sample(key, self.s.batch_size)

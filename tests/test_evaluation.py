@@ -119,3 +119,40 @@ def test_average_model_baseline():
     res = m.evaluate(ds, jax.random.key(1), n_predictions=4, batch_size=8)
     assert res["ssim"].shape == (4,)
     assert np.all(np.isfinite(res["ssim"]))
+
+
+def test_interpolations_and_param_plots(tmp_path):
+    import jax.numpy as jnp
+    from recurrent_flows_tpu.evaluation.evaluator import EvalSettings
+
+    cfg = tiny_cfg()
+    model = RFN(cfg, remat=False)
+    ds = MovingMNIST(seq_len=6, image_size=16, digit_size=8, num_digits=1)
+    x = ds.sample(jax.random.key(0), 2) - 0.5
+    v = model.init(jax.random.key(1), x, jax.random.key(2))
+
+    class Shifted:
+        def sample(self, key, bs):
+            return ds.sample(key, bs) - 0.5
+
+    ev = Evaluator(
+        model, v, Shifted(),
+        EvalSettings(n_conditions=2, n_predictions=3, resamples=1, n_batches=1,
+                     batch_size=2),
+        postprocess=lambda a: jnp.clip(a + 0.5, 0, 1),
+    )
+    grid = ev.get_interpolations(jax.random.key(3), n_alphas=3, n_conditions=3,
+                                 path=str(tmp_path / "interp.png"))
+    assert grid.shape[0] == 3
+
+    sync = MovingMNIST(seq_len=6, image_size=16, digit_size=8, num_digits=1,
+                       synchronized=True)
+
+    class SyncShifted:
+        def sample(self, key, bs):
+            x, hits = sync.sample(key, bs)
+            return x - 0.5, hits
+
+    traj = ev.param_plots(SyncShifted(), jax.random.key(4),
+                          path=str(tmp_path / "params.png"))
+    assert "mu_p" in traj and traj["mu_p"].shape == (5,)
