@@ -60,7 +60,9 @@ def measure_ours() -> float:
         glow=GlowConfig(L=b["L"], K=b["K"], n_units_affine=b["n_units_affine"],
                         n_units_prior=b["n_units_prior"]),
     )
-    model = RFN(cfg, remat=False)
+    import jax.numpy as jnp
+
+    model = RFN(cfg, remat=False, compute_dtype=jnp.bfloat16)
     bs = b["batch_size"]
     x = (
         jax.random.uniform(

@@ -41,6 +41,9 @@ from ..utils.numerics import batch_reduce, free_bits_kl, normal_kl, normal_sampl
 class RFN(nn.Module):
     cfg: RFNConfig
     remat: bool = True
+    # compute dtype for the MXU-bound conv stacks (extractor/upscaler/LSTMs);
+    # the flow's logdet-sensitive math always runs f32. e.g. jnp.bfloat16.
+    compute_dtype: object = None
 
     # ------------------------------------------------------------------
     def setup(self):
@@ -56,6 +59,7 @@ class RFN(nn.Module):
             scale=cfg.structure_scaler,
             skip_con=self._use_skip_list,
             tanh=cfg.downscaler_tanh,
+            dtype=self.compute_dtype,
         )
         self.upscaler = VGGUpscaler(
             cfg.upscaler_structure,
@@ -64,10 +68,11 @@ class RFN(nn.Module):
             scale=cfg.structure_scaler,
             skips=cfg.skip_connection_features,
             tanh=cfg.upscaler_tanh,
+            dtype=self.compute_dtype,
         )
-        self.lstm = ConvLSTMCell(cfg.h_dim, name="lstm")
+        self.lstm = ConvLSTMCell(cfg.h_dim, dtype=self.compute_dtype, name="lstm")
         if cfg.enable_smoothing:
-            self.a_lstm = ConvLSTMCell(cfg.a_dim, name="a_lstm")
+            self.a_lstm = ConvLSTMCell(cfg.a_dim, dtype=self.compute_dtype, name="a_lstm")
         self.prior = SimpleParamNet(
             cfg.prior_structure, cfg.z_dim, norm_type=cfg.norm_type, non_lin="leakyrelu",
             name="prior",
@@ -106,6 +111,7 @@ class RFN(nn.Module):
         out = self.extractor(flat)
 
         def tm(a):  # [B*T, ...] -> [T, B, ...]
+            a = a.astype(jnp.float32)
             return a.reshape((b, t) + a.shape[1:]).swapaxes(0, 1)
 
         if self._use_skip_list:
@@ -125,6 +131,7 @@ class RFN(nn.Module):
             conds = self.upscaler(hz, skip_list=skips_prev)
         else:
             conds = self.upscaler(hz)
+        conds = [c.astype(jnp.float32) for c in conds]
         if cfg.skip_connection_flow == "with_skip":
             conds = [jnp.concatenate([c, s], axis=-1) for c, s in zip(conds, skips_prev)]
         elif cfg.skip_connection_flow == "only_skip":
@@ -357,11 +364,11 @@ class RFN(nn.Module):
         def step(carry, key):
             h, c, zprev, prediction = carry
             if self._use_skip_list:
-                cond_list = self.extractor(prediction)
+                cond_list = [c.astype(jnp.float32) for c in self.extractor(prediction)]
                 condition = cond_list[-1]
             else:
                 cond_list = None
-                condition = self.extractor(prediction)
+                condition = self.extractor(prediction).astype(jnp.float32)
             h, c = self.lstm(condition, h, c)
             prior_mean, prior_std = self.prior(jnp.concatenate([h, zprev], -1))
             k1, k2 = jax.random.split(key)
@@ -604,11 +611,11 @@ class RFN(nn.Module):
         def step(carry, key):
             h, c, zprev, frame = carry
             if self._use_skip_list:
-                cond_list = self.extractor(frame)
+                cond_list = [c.astype(jnp.float32) for c in self.extractor(frame)]
                 condition = cond_list[-1]
             else:
                 cond_list = None
-                condition = self.extractor(frame)
+                condition = self.extractor(frame).astype(jnp.float32)
             h, c = self.lstm(condition, h, c)
             prior_mean, prior_std = self.prior(jnp.concatenate([h, zprev], -1))
             k1, k2 = jax.random.split(key)

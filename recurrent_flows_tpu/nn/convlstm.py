@@ -25,18 +25,23 @@ class ConvLSTMCell(nn.Module):
     hidden_channels: int
     kernel: int = 3
     peephole: bool = True
+    dtype: object = None  # compute dtype for the fused gate conv
 
     @nn.compact
     def __call__(self, x, h, c):
         hc = self.hidden_channels
         combined = jnp.concatenate([x, h], axis=-1)
+        if self.dtype is not None:
+            combined = combined.astype(self.dtype)
         gates = conv2d(
             4 * hc,
             self.kernel,
             kernel_init=nn.initializers.xavier_normal(),
             bias_init=nn.initializers.uniform(scale=1.0),
             name="gates",
+            dtype=self.dtype,
         )(combined)
+        gates = gates.astype(jnp.float32)  # gate nonlinearity + state in f32
         cc_i, cc_f, cc_o, cc_g = jnp.split(gates, 4, axis=-1)
         if self.peephole:
             hw = (1, x.shape[1], x.shape[2], hc)

@@ -39,8 +39,13 @@ def conv2d(
     kernel_init=None,
     bias_init=None,
     name: str | None = None,
+    dtype=None,
 ) -> nn.Conv:
-    """3x3/1x1 conv with torch-style explicit symmetric padding."""
+    """3x3/1x1 conv with torch-style explicit symmetric padding.
+
+    ``dtype`` sets the computation dtype (bf16 for MXU-bound stacks);
+    params stay f32.
+    """
     p = (kernel - 1) // 2
     kwargs = {}
     if kernel_init is not None:
@@ -54,6 +59,7 @@ def conv2d(
         padding=((p, p), (p, p)),
         use_bias=use_bias,
         name=name,
+        dtype=dtype,
         **kwargs,
     )
 

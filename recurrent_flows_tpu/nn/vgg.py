@@ -58,6 +58,7 @@ class VGGDownscaler(nn.Module):
     scale: int = 2
     skip_con: bool = False
     tanh: bool = False
+    dtype: object = None  # compute dtype for the convs (e.g. bf16)
 
     @nn.compact
     def __call__(self, x):
@@ -77,7 +78,7 @@ class VGGDownscaler(nn.Module):
                     x = nn.max_pool(x, (2, 2), strides=(2, 2))
                 elif i == "conv":
                     ch = int(x.shape[-1] * self.scale)
-                    x = conv2d(ch, 3, stride=2, use_bias=False, name=name)(x)
+                    x = conv2d(ch, 3, stride=2, use_bias=False, name=name, dtype=self.dtype)(x)
                     x = NormLayer(self.norm_type, name=name + "_norm")(x)
                     x = activation(x)
                 elif i == "squeeze":
@@ -85,7 +86,7 @@ class VGGDownscaler(nn.Module):
                     x = NormLayer(self.norm_type, name=name + "_norm")(x)
                     x = activation(x)
                 else:
-                    x = conv2d(int(i), 3, use_bias=False, name=name)(x)
+                    x = conv2d(int(i), 3, use_bias=False, name=name, dtype=self.dtype)(x)
                     x = NormLayer(self.norm_type, name=name + "_norm")(x)
                     x = activation(x)
             if self.skip_con:
@@ -108,6 +109,7 @@ class VGGUpscaler(nn.Module):
     scale: int = 2
     skips: bool = False
     tanh: bool = False
+    dtype: object = None  # compute dtype for the convs (e.g. bf16)
 
     @nn.compact
     def __call__(self, x, skip_list: Optional[Sequence] = None):
@@ -140,7 +142,7 @@ class VGGUpscaler(nn.Module):
                     activation = lambda v: 0.5 * jnp.tanh(v)
                 else:
                     activation = lambda v: act(v, self.non_lin)
-                x = conv2d(ch, 3, use_bias=False, name=f"b{l}_{count}")(x)
+                x = conv2d(ch, 3, use_bias=False, name=f"b{l}_{count}", dtype=self.dtype)(x)
                 x = NormLayer(self.norm_type, name=f"b{l}_{count}_norm")(x)
                 x = activation(x)
             outputs.append(x)

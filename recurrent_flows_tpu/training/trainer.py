@@ -30,6 +30,7 @@ from flax import struct
 
 from ..config import TrainConfig
 from ..parallel import make_mesh, replicate, shard_batch
+from ..utils.profiling import StepTimer, trace
 from .checkpoint import load_checkpoint, save_checkpoint
 from .schedules import BetaSchedule, EarlyStopping, PlateauScheduler, linear_lr
 
@@ -119,6 +120,7 @@ class Trainer:
         )
         self.early = EarlyStopping(tcfg.patience_es)
         self._train_step = None
+        self.step_timer = StepTimer()
 
     # -- build ------------------------------------------------------------
 
@@ -203,13 +205,20 @@ class Trainer:
 
     # -- training loop ------------------------------------------------------
 
-    def train_epoch(self, steps: Optional[int] = None) -> float:
+    def train_epoch(self, steps: Optional[int] = None,
+                    profile_dir: Optional[str] = None) -> float:
         """One epoch; returns running mean loss (reference semantics)."""
         tcfg = self.tcfg
         steps = steps if steps is not None else tcfg.steps_per_epoch
         generator = hasattr(self.data, "sample")
         it = None if generator else iter(self.data)
+        with trace(profile_dir):
+            return self._run_epoch(steps, generator, it)
+
+    def _run_epoch(self, steps, generator, it) -> float:
+        tcfg = self.tcfg
         for _ in range(steps):
+            self.step_timer.start()
             self._rng, k_data, k_loss = jax.random.split(self._rng, 3)
             if generator:
                 batch = self.data.sample(k_data, tcfg.batch_size)
@@ -231,6 +240,7 @@ class Trainer:
             self.state, metrics = self._train_step(
                 self.state, batch, beta, lr, k_loss
             )
+            self.step_timer.stop(metrics["loss"])
             self.counter += 1
             t = tcfg.n_frames - 1
             self.losses.append(float(metrics["loss"]) / t)
