@@ -60,9 +60,9 @@ def measure_ours() -> float:
         glow=GlowConfig(L=b["L"], K=b["K"], n_units_affine=b["n_units_affine"],
                         n_units_prior=b["n_units_prior"]),
     )
-    import jax.numpy as jnp
-
-    model = RFN(cfg, remat=False, compute_dtype=jnp.bfloat16)
+    # f32 + XLA fusion measured fastest on v5e for this model (bf16 casts
+    # cost 3x on these small convs; see ops/pallas/fused.py docstring).
+    model = RFN(cfg, remat=False)
     bs = b["batch_size"]
     x = (
         jax.random.uniform(
@@ -80,7 +80,8 @@ def measure_ours() -> float:
 
     preds = rollout(variables, x, jax.random.key(3))
     preds.block_until_ready()  # compile + warmup
-    n_runs = 5
+    n_runs = 20  # async dispatch, one final block: device throughput, not
+    # per-call tunnel latency
     t0 = time.perf_counter()
     for i in range(n_runs):
         preds = rollout(variables, x, jax.random.key(4 + i))

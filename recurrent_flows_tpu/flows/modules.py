@@ -265,14 +265,11 @@ class AffineCoupling(nn.Module):
         else:
             raise ValueError(f"unknown clamp type: {self.clamp_type}")
 
-        if not reverse:
-            z2 = (z2 + shift) * jnp.exp(s)
-            if logdet is not None:
-                logdet = logdet + jnp.sum(s, axis=(1, 2, 3))
-        else:
-            z2 = z2 * jnp.exp(-s) - shift
-            if logdet is not None:
-                logdet = logdet - jnp.sum(s, axis=(1, 2, 3))
+        from ..ops.pallas import coupling_transform
+
+        z2, ld = coupling_transform(z2, shift, s, reverse)
+        if logdet is not None:
+            logdet = logdet + ld if not reverse else logdet - ld
         return jnp.concatenate([z1, z2], axis=-1), logdet
 
 

@@ -42,21 +42,16 @@ class ConvLSTMCell(nn.Module):
             dtype=self.dtype,
         )(combined)
         gates = gates.astype(jnp.float32)  # gate nonlinearity + state in f32
-        cc_i, cc_f, cc_o, cc_g = jnp.split(gates, 4, axis=-1)
+        hw = (1, x.shape[1], x.shape[2], hc)
         if self.peephole:
-            hw = (1, x.shape[1], x.shape[2], hc)
             w_ci = self.param("Wci", nn.initializers.zeros, hw)
             w_cf = self.param("Wcf", nn.initializers.zeros, hw)
             w_co = self.param("Wco", nn.initializers.zeros, hw)
         else:
-            w_ci = w_cf = w_co = 0.0
-        i = jax.nn.sigmoid(cc_i + w_ci * c)
-        f = jax.nn.sigmoid(cc_f + w_cf * c)
-        g = jnp.tanh(cc_g)
-        c_next = f * c + i * g
-        o = jax.nn.sigmoid(cc_o + w_co * c_next)
-        h_next = o * jnp.tanh(c_next)
-        return h_next, c_next
+            w_ci = w_cf = w_co = jnp.zeros(hw, gates.dtype)
+        from ..ops.pallas import convlstm_gates
+
+        return convlstm_gates(gates, c, w_ci, w_cf, w_co)
 
 
 def conv_lstm_scan(cell_apply, xs, h0, c0, reverse: bool = False):
