@@ -44,3 +44,15 @@ def replicate(mesh: Mesh, tree):
     """Fully replicate a pytree (params/opt state) across the mesh."""
     sharding = NamedSharding(mesh, P())
     return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def spatial_constraint(mesh: Mesh, x):
+    """Constrain video batches to (data, -, model, -, -): batch over 'data'
+    and frame HEIGHT over 'model' — spatial/sequence parallelism for the
+    64x64 activations (SURVEY §2.11 stretch goal). GSPMD inserts the conv
+    halo exchanges automatically.
+    """
+    if mesh.shape.get("model", 1) <= 1 or x.ndim < 4:
+        return x
+    spec = ["data", None, "model"] + [None] * (x.ndim - 3)
+    return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, P(*spec)))

@@ -29,7 +29,7 @@ import optax
 from flax import struct
 
 from ..config import TrainConfig
-from ..parallel import make_mesh, replicate, shard_batch
+from ..parallel import make_mesh, replicate, shard_batch, spatial_constraint
 from ..utils.profiling import StepTimer, trace
 from .checkpoint import load_checkpoint, save_checkpoint
 from .schedules import BetaSchedule, EarlyStopping, PlateauScheduler, linear_lr
@@ -174,8 +174,12 @@ class Trainer:
                               method="loss")
             return out
 
+        mesh = self.mesh
+
         def train_step(state: TrainState, x, beta, lr, rng):
             x = preprocess(x, tcfg.n_bits, tcfg.preprocess_range, tcfg.preprocess_scale)
+            if mesh is not None:
+                x = spatial_constraint(mesh, x)
 
             def objective(params):
                 out = loss_fn(params, state.consts, x, rng)
