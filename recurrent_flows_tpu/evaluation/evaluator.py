@@ -185,6 +185,37 @@ class Evaluator:
             _save_strip(grid, path)
         return grid
 
+    def plot_temperatures(self, key, temperatures=(0.3, 0.5, 0.7, 1.0),
+                          kl_temperatures=(1.0,), path: Optional[str] = None):
+        """Rollout grids over (flow temperature, prior kl_temperature) pairs
+        (reference plot_temp, error_metrics.py:1260-1325). Returns
+        dict[(t, kt)] -> predictions [n_pred, B, H, W, C]."""
+        s = self.s
+        x = self.data.sample(key, s.batch_size)
+        out = {}
+        rows = []
+        for t in temperatures:
+            cfg_t = dataclasses.replace(self.model.cfg, temperature=t)
+            model_t = type(self.model)(cfg_t, remat=getattr(self.model, "remat", True))
+            for kt in kl_temperatures:
+                try:
+                    _, preds = model_t.apply(
+                        self.variables, x, s.n_predictions, s.n_conditions,
+                        jax.random.fold_in(key, int(t * 100 + kt)),
+                        kl_temperature=kt, method="predict",
+                    )
+                except TypeError:  # model without the kl_temperature knob
+                    _, preds = model_t.apply(
+                        self.variables, x, s.n_predictions, s.n_conditions,
+                        jax.random.fold_in(key, int(t * 100 + kt)),
+                        method="predict",
+                    )
+                out[(t, kt)] = np.asarray(self.post(preds))
+                rows.append(out[(t, kt)][:, 0])
+        if path:
+            _save_strip(np.concatenate(rows, -3), path)
+        return out
+
     def get_interpolations(self, key, n_alphas: int = 8, n_conditions: int = 4,
                            path: Optional[str] = None):
         """Latent (z_t, h_t) linear interpolation between two sequences.
@@ -271,6 +302,43 @@ class Evaluator:
         if path:
             _save_strip(np.concatenate(rows, -3), path)
         return np.stack(rows)
+
+
+def plot_eval_curves(results: dict, path: str, metrics=("ssim", "psnr", "mse", "lpips")):
+    """Per-frame metric curves with mean ± std bands, one panel per metric,
+    one line per experiment (reference plot_eval_values / test_temp_values,
+    error_metrics.py:600-1003).
+
+    ``results``: {experiment_name: get_eval_values() dict}.
+    """
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    avail = [m for m in metrics if any(f"{m}_best" in r for r in results.values())]
+    fig, axes = plt.subplots(1, len(avail), figsize=(4 * len(avail), 3.2))
+    if len(avail) == 1:
+        axes = [axes]
+    for ax, m in zip(axes, avail):
+        for name, r in results.items():
+            track = r.get(f"{m}_best")
+            if track is None:
+                continue
+            track = np.asarray(track)
+            mean = track.mean(0)
+            std = track.std(0) / max(np.sqrt(track.shape[0]), 1.0)
+            t = np.arange(len(mean))
+            ax.plot(t, mean, label=name)
+            ax.fill_between(t, mean - 2 * std, mean + 2 * std, alpha=0.2)
+        ax.set_title(f"{m} (best-of-N)")
+        ax.set_xlabel("prediction step")
+        ax.grid(alpha=0.3)
+        ax.legend(fontsize=7)
+    fig.tight_layout()
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    fig.savefig(path, bbox_inches="tight")
+    plt.close(fig)
 
 
 def compare_bpp(models_and_variables, x, key):

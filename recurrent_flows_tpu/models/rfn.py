@@ -349,15 +349,18 @@ class RFN(nn.Module):
         )
         return hT, cT, zprev, zxprev
 
-    def predict(self, x, n_predictions: int, n_conditions: int, rng):
+    def predict(self, x, n_predictions: int, n_conditions: int, rng,
+                kl_temperature: float = 1.0):
         """Warm-up on conditioning frames, then autoregressive flow rollout.
 
         Returns (true_x [n_conditions,B,H,W,C], predictions [n_pred,...]).
-        Reference RFN/RFN_new.py:256-360.
+        ``kl_temperature`` scales the prior std during prediction (reference
+        RFN_new.py:31,320,341). Reference RFN/RFN_new.py:256-360.
         """
         cfg = self.cfg
         rng_w, rng_r = jax.random.split(rng)
-        h, c, zprev, _ = self._warmup(x, n_conditions, rng_w)
+        h, c, zprev, _ = self._warmup(x, n_conditions, rng_w,
+                                      kl_temperature=kl_temperature)
         prediction = x[:, n_conditions - 1]
         keys = jax.random.split(rng_r, n_predictions)
 
@@ -372,7 +375,7 @@ class RFN(nn.Module):
             h, c = self.lstm(condition, h, c)
             prior_mean, prior_std = self.prior(jnp.concatenate([h, zprev], -1))
             k1, k2 = jax.random.split(key)
-            zt = normal_sample(k1, prior_mean, prior_std)
+            zt = normal_sample(k1, prior_mean, prior_std * kl_temperature)
             conds, hz = self._flow_conditions(h, zt, cond_list)
             new_pred = self.flow.sample(
                 None, conds, hz, k2, temperature=cfg.temperature

@@ -156,3 +156,35 @@ def test_interpolations_and_param_plots(tmp_path):
     traj = ev.param_plots(SyncShifted(), jax.random.key(4),
                           path=str(tmp_path / "params.png"))
     assert "mu_p" in traj and traj["mu_p"].shape == (5,)
+
+
+def test_plot_temperatures_and_eval_curves(tmp_path):
+    import jax.numpy as jnp
+    from recurrent_flows_tpu.evaluation.evaluator import (
+        EvalSettings, plot_eval_curves,
+    )
+
+    cfg = tiny_cfg()
+    model = RFN(cfg, remat=False)
+    ds = MovingMNIST(seq_len=5, image_size=16, digit_size=8, num_digits=1)
+    x = ds.sample(jax.random.key(0), 2) - 0.5
+    v = model.init(jax.random.key(1), x, jax.random.key(2))
+
+    class Shifted:
+        def sample(self, key, bs):
+            return ds.sample(key, bs) - 0.5
+
+    ev = Evaluator(
+        model, v, Shifted(),
+        EvalSettings(n_conditions=2, n_predictions=2, resamples=1, n_batches=1,
+                     batch_size=2),
+        postprocess=lambda a: jnp.clip(a + 0.5, 0, 1),
+    )
+    grids = ev.plot_temperatures(
+        jax.random.key(3), temperatures=(0.5, 1.0), kl_temperatures=(1.0,),
+        path=str(tmp_path / "temps.png"),
+    )
+    assert len(grids) == 2
+    res = ev.get_eval_values(jax.random.key(4), with_lpips=False)
+    plot_eval_curves({"exp": res}, str(tmp_path / "curves.png"))
+    assert (tmp_path / "curves.png").exists()
