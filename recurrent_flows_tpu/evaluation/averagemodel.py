@@ -9,8 +9,6 @@ model is a closed jittable linear map trained with a few Adam steps.
 from __future__ import annotations
 
 import itertools
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -22,7 +22,6 @@ import os
 from typing import Dict, Optional
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from .fvd import fvd

@@ -13,7 +13,6 @@ from __future__ import annotations
 
 from typing import Any, Callable, Dict
 
-import jax
 
 
 def merge_ddi(params: Dict[str, Any], ddi: Dict[str, Any]) -> Dict[str, Any]:

@@ -8,7 +8,7 @@ a reshape/transpose; all per-channel ops act on the last axis.
 from __future__ import annotations
 
 import math
-from typing import Optional, Sequence
+from typing import Sequence
 
 import flax.linen as nn
 import jax

@@ -19,14 +19,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ..config import GlowConfig
 from ..nn.layers import act
 from ..utils.numerics import batch_reduce, normal_log_prob, split_feature
-
-
-def _first(x):
-    # self.sow appends tuples; we always sow exactly once per apply.
-    return x
 
 
 class ActNorm(nn.Module):

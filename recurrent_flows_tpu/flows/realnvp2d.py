@@ -9,7 +9,7 @@ autoregressively. Pure linen + jnp; runs fine on CPU.
 from __future__ import annotations
 
 import math
-from typing import Optional, Tuple
+from typing import Tuple
 
 import flax.linen as nn
 import jax

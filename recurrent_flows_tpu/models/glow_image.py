@@ -12,13 +12,10 @@ Two capabilities from the reference outside the video models:
 from __future__ import annotations
 
 import flax.linen as nn
-import jax
 import jax.numpy as jnp
 
 from ..config import GlowConfig
 from ..nn.layers import NormLayer, act, conv2d
-from ..utils.numerics import batch_reduce
-from .rfn import RFN  # noqa: F401  (namespace parity)
 from ..flows.glow import ListGlow
 
 

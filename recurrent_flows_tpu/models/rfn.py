@@ -24,8 +24,6 @@ TPU-first design decisions (vs the reference's python loops):
 
 from __future__ import annotations
 
-from typing import Optional
-
 import flax.linen as nn
 import jax
 import jax.numpy as jnp

@@ -8,8 +8,6 @@ over time under jit.
 
 from __future__ import annotations
 
-from typing import Tuple
-
 import flax.linen as nn
 import jax
 import jax.numpy as jnp

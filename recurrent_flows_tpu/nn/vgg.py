@@ -12,7 +12,6 @@ from __future__ import annotations
 from typing import List, Optional, Sequence, Tuple
 
 import flax.linen as nn
-import jax
 import jax.numpy as jnp
 
 from ..utils.numerics import squeeze2d, unsqueeze2d

@@ -19,8 +19,7 @@ from __future__ import annotations
 
 import math
 import os
-from functools import partial
-from typing import Any, Callable, Dict, Optional
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
@@ -29,7 +28,7 @@ import optax
 from flax import struct
 
 from ..config import TrainConfig
-from ..parallel import make_mesh, replicate, shard_batch, spatial_constraint
+from ..parallel import replicate, shard_batch, spatial_constraint
 from ..utils.profiling import StepTimer, trace
 from .checkpoint import load_checkpoint, save_checkpoint
 from .schedules import BetaSchedule, EarlyStopping, PlateauScheduler, linear_lr
