@@ -220,8 +220,12 @@ class Trainer:
 
     def _run_epoch(self, steps, generator, it) -> float:
         tcfg = self.tcfg
-        for _ in range(steps):
-            self.step_timer.start()
+        pending = []  # device metrics, fetched in bulk at epoch end (no
+        # per-step host sync — latency matters through remote-TPU links)
+        for step_i in range(steps):
+            time_this = step_i % 50 == 0
+            if time_this:
+                self.step_timer.start()
             self._rng, k_data, k_loss = jax.random.split(self._rng, 3)
             if generator:
                 batch = self.data.sample(k_data, tcfg.batch_size)
@@ -243,15 +247,20 @@ class Trainer:
             self.state, metrics = self._train_step(
                 self.state, batch, beta, lr, k_loss
             )
-            self.step_timer.stop(metrics["loss"])
+            if time_this:
+                self.step_timer.stop(metrics["loss"])
             self.counter += 1
-            t = tcfg.n_frames - 1
-            self.losses.append(float(metrics["loss"]) / t)
-            self.kl_hist.append(float(metrics["kl"]) / t)
-            self.recon_hist.append(float(metrics["nll"]) / t)
-            self.bits_hist.append(float(metrics["bits"]))
+            pending.append(metrics)
             if self.stop:
                 break
+        if pending:
+            fetched = jax.device_get(pending)
+            t = tcfg.n_frames - 1
+            for m in fetched:
+                self.losses.append(float(m["loss"]) / t)
+                self.kl_hist.append(float(m["kl"]) / t)
+                self.recon_hist.append(float(m["nll"]) / t)
+                self.bits_hist.append(float(m["bits"]))
         return float(np.mean(self.losses)) if self.losses else float("nan")
 
     def fit(self, n_epochs: Optional[int] = None, plot: bool = True):
