@@ -184,10 +184,61 @@ def get_baseline() -> float:
         return float("nan")
 
 
+def measure_train_step() -> dict:
+    """Secondary: full RFN train-step throughput (fused on-device data gen +
+    loss + grad + adam) on a 64x64 config."""
+    import jax
+
+    from recurrent_flows_tpu.config import GlowConfig, RFNConfig, TrainConfig
+    from recurrent_flows_tpu.data import MovingMNIST
+    from recurrent_flows_tpu.models import RFN
+    from recurrent_flows_tpu.training import Trainer
+
+    b = BENCH
+    cfg = RFNConfig(
+        x_channels=1,
+        image_size=b["image_size"],
+        h_dim=b["h_dim"],
+        z_dim=b["z_dim"],
+        a_dim=b["a_dim"],
+        L=b["L"],
+        K=b["K"],
+        extractor_structure=b["extractor"],
+        upscaler_structure=b["upscaler"],
+        prior_structure=b["prior_structure"],
+        encoder_structure=b["encoder_structure"],
+        norm_type="none",
+        norm_type_features="none",
+        glow=GlowConfig(L=b["L"], K=b["K"], n_units_affine=b["n_units_affine"],
+                        n_units_prior=b["n_units_prior"]),
+    )
+    tcfg = TrainConfig(batch_size=16, n_frames=6, beta_steps=100)
+    ds = MovingMNIST(seq_len=6, image_size=b["image_size"],
+                     digit_size=b["image_size"] // 2, num_digits=1)
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as tmp:
+        tr = Trainer(RFN(cfg), tcfg, ds, tmp).build(run_ddi=False)
+        tr.train_epoch(steps=60)
+        stats = tr.step_timer.stats()
+    frames = tcfg.batch_size * (tcfg.n_frames - 1)
+    stats["train_frames_per_s"] = frames * stats.get("steps_per_s", 0.0)
+    return stats
+
+
 def main():
     baseline = get_baseline()
     ours = measure_ours()
     vs = ours / baseline if baseline == baseline and baseline > 0 else 0.0
+    try:
+        details = dict(train_step=measure_train_step(),
+                       rollout_frames_per_s=ours,
+                       torch_reference_rollout_fps=baseline)
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_DETAILS.json"), "w") as f:
+            json.dump(details, f, indent=2)
+    except Exception as e:  # secondary metrics must not break the bench line
+        print(f"# train-step bench failed: {e}")
     print(
         json.dumps(
             dict(

@@ -117,13 +117,24 @@ def build_dataset(args, train: bool = True):
         )
     if args.choose_data == "shapes":
         return MovingShapes(seq_len=args.n_frames, image_size=args.image_size)
-    if args.choose_data == "kth":
-        return KTH(train=train, data_root=args.data_root, seq_len=args.n_frames,
-                   image_size=args.image_size, batch_size=args.batch_size)
-    if args.choose_data == "bair":
-        return PushDataset(split="train" if train else "test",
-                           dataset_dir=args.data_root, seq_len=args.n_frames,
-                           batch_size=args.batch_size)
+    if args.choose_data in ("kth", "bair"):
+        # prefer the native mmap frame cache when a blob has been built
+        # (scripts/build_framecache.py); falls back to the python loaders
+        import os
+
+        from ..data import framecache as fcache
+
+        split = "train" if train else "test"
+        blob = os.path.join(args.data_root, f"{args.choose_data}_{split}.blob")
+        if os.path.exists(blob) and fcache.is_available():
+            return fcache.FrameCache(blob, seq_len=args.n_frames,
+                                     batch_size=args.batch_size)
+        if args.choose_data == "kth":
+            return KTH(train=train, data_root=args.data_root,
+                       seq_len=args.n_frames, image_size=args.image_size,
+                       batch_size=args.batch_size)
+        return PushDataset(split=split, dataset_dir=args.data_root,
+                           seq_len=args.n_frames, batch_size=args.batch_size)
     raise ValueError(args.choose_data)
 
 
