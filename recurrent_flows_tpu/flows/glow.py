@@ -118,7 +118,7 @@ class ListGlow(nn.Module):
         self.final_hw = hw
         if cfg.learn_prior:
             self.prior_conv0 = Conv2dNorm(cfg.n_units_prior, 3, norm=cfg.base_norm, name="prior0")
-            self.prior_conv1 = Conv2dNorm(cfg.n_units_prior // 2, 1, norm=cfg.base_norm, name="prior1")
+            self.prior_conv1 = Conv2dNorm(cfg.n_units_prior // 2, 3, norm=cfg.base_norm, name="prior1")
             self.prior_out = Conv2dZeros(2 * c, name="prior_out")
 
     # -- base prior -------------------------------------------------------
