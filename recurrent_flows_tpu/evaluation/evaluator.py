@@ -75,16 +75,21 @@ class Evaluator:
         self._loss = jax.jit(loss_fn)
 
     # ------------------------------------------------------------------
-    def get_eval_values(self, key, with_lpips: bool = True) -> Dict[str, np.ndarray]:
+    def get_eval_values(self, key, with_lpips: bool = True,
+                        save_grids_dir: Optional[str] = None) -> Dict[str, np.ndarray]:
         """Best-of-N + mean metric tracks over the eval protocol.
 
         Returns dict with best/mean per-frame tracks [N_seq, n_predictions]
-        for ssim/psnr/mse (and lpips), plus scalar bits/dim.
+        for ssim/psnr/mse (and lpips), plus scalar bits/dim. When
+        ``save_grids_dir`` is set, the best and worst rollouts (by SSIM)
+        are saved as frame strips (reference error_metrics.py:590-597).
         """
         s = self.s
         best = {m: [] for m in ("ssim", "psnr", "mse", "lpips")}
         mean = {m: [] for m in ("ssim", "psnr", "mse", "lpips")}
         bpds = []
+        extreme = dict(best_score=-np.inf, worst_score=np.inf,
+                       best_vid=None, worst_vid=None)
         for i in range(s.n_batches):
             kb = jax.random.fold_in(key, i)
             x = self.data.sample(kb, s.batch_size)
@@ -98,6 +103,14 @@ class Evaluator:
                 res = eval_seq(true_future, preds, s.data_range)
                 for m in ("ssim", "psnr", "mse"):
                     tracks[m].append(np.asarray(res[m]))
+                if save_grids_dir is not None:
+                    scores = np.asarray(res["ssim"]).mean(-1)  # [B]
+                    if scores.max() > extreme["best_score"]:
+                        extreme["best_score"] = float(scores.max())
+                        extreme["best_vid"] = np.asarray(preds[scores.argmax()])
+                    if scores.min() < extreme["worst_score"]:
+                        extreme["worst_score"] = float(scores.min())
+                        extreme["worst_vid"] = np.asarray(preds[scores.argmin()])
                 if with_lpips:
                     b, t = true_future.shape[:2]
                     lp = lpips_distance(
@@ -123,6 +136,11 @@ class Evaluator:
             if best[m]:
                 result[f"{m}_best"] = np.concatenate(best[m], 0)
                 result[f"{m}_mean"] = np.concatenate(mean[m], 0)
+        if save_grids_dir is not None and extreme["best_vid"] is not None:
+            _save_strip(extreme["best_vid"], os.path.join(save_grids_dir, "best.png"))
+            _save_strip(extreme["worst_vid"], os.path.join(save_grids_dir, "worst.png"))
+            result["best_ssim_seq"] = extreme["best_score"]
+            result["worst_ssim_seq"] = extreme["worst_score"]
         return result
 
     def get_loss(self, key, resamples: int = 3) -> float:
