@@ -55,6 +55,13 @@ def build(model_name: str, img: int, two_digits: bool):
         cfg = SVGConfig(x_channels=1, image_size=img, z_dim=8, c_features=64,
                         h_dim=128, norm_type="none", loss_type="mse")
         model, pr, lr = SVG(cfg), "none", 1e-3
+    elif model_name == "glow":
+        # unconditional Glow on SM-MNIST frames (BASELINE config 3)
+        from recurrent_flows_tpu.models.glow_image import GlowImage
+
+        cfg = GlowConfig(L=3, K=8, n_units_affine=128, n_units_prior=128)
+        model = GlowImage(1, img, cfg, cond_channels=8, base_channels=8)
+        pr, lr = "0.5", 2e-4
     else:
         raise ValueError(model_name)
     return model, pr, lr
@@ -101,7 +108,7 @@ def run_one(model_name: str, args) -> dict:
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--model", default="rfn",
-                   choices=["rfn", "srnn", "vrnn", "svg", "all"])
+                   choices=["rfn", "srnn", "vrnn", "svg", "glow", "all"])
     p.add_argument("--steps", type=int, default=400)
     p.add_argument("--image_size", type=int, default=32)
     p.add_argument("--batch_size", type=int, default=16)
