@@ -224,6 +224,8 @@ class TrainConfig:
     n_conditions: int = 3
     n_predictions_plot: int = 6
     seed: int = 0
+    grad_clip: float = 0.0  # optax clip_by_global_norm; 0 = off (reference
+    # uses plain Adam, but Glow scale params can spike on sparse video data)
     remat: bool = True  # rematerialize the per-timestep scan body
     # linear scheduler constants (reference RFN/trainer.py:190-204)
     linear_start_step: int = 100_000

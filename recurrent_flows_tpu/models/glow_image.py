@@ -50,11 +50,15 @@ class GlowImage(nn.Module):
         return conds, base
 
     def __call__(self, x, rng):
+        if x.ndim == 5:  # video batches: frames treated i.i.d.
+            x = x.reshape((-1,) + x.shape[2:])
         conds, base = self._broadcast(x.shape[0])
         _, nll = self.flow.log_prob(x, conds, base, rng)
         return nll
 
     def ddi(self, x, rng):
+        if x.ndim == 5:
+            x = x.reshape((-1,) + x.shape[2:])
         conds, base = self._broadcast(x.shape[0])
         _, nll = self.flow.log_prob(x, conds, base, rng, ddi=True)
         return nll

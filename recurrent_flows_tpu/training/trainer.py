@@ -142,7 +142,13 @@ class Trainer:
 
             variables = data_dependent_init(variables, ddi_apply)
 
-        self.optimizer = optax.inject_hyperparams(optax.adam)(
+        def _make_opt(learning_rate):
+            tx = [optax.adam(learning_rate)]
+            if tcfg.grad_clip > 0:
+                tx.insert(0, optax.clip_by_global_norm(tcfg.grad_clip))
+            return optax.chain(*tx)
+
+        self.optimizer = optax.inject_hyperparams(_make_opt)(
             learning_rate=tcfg.learning_rate
         )
         opt_state = self.optimizer.init(variables["params"])
