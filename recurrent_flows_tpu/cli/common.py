@@ -67,6 +67,8 @@ def add_trainer_args(p):
     p.add_argument("--n_predictions", type=int, default=7)
     p.add_argument("--n_conditions", type=int, default=3)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--grad_clip", type=float, default=0.0,
+                   help="global-norm gradient clip (0 = off)")
     add_bool_arg(p, "multigpu", default=False,
                  help="shard the batch over all local devices (SPMD mesh)")
     add_bool_arg(p, "load_model", default=False)
@@ -98,6 +100,7 @@ def train_config_from_args(args) -> TrainConfig:
         n_predictions=args.n_predictions,
         n_conditions=args.n_conditions,
         seed=args.seed,
+        grad_clip=args.grad_clip,
     )
 
 

@@ -121,7 +121,8 @@ def _evaluate_once(model, variables, tcfg, args, out_dir, temperature=None):
     ev = Evaluator(model, variables, ModelSpaceData(), settings, postprocess=post)
     key = jax.random.key(0)
     results = {}
-    vals = ev.get_eval_values(key, with_lpips=args.use_lpips)
+    vals = ev.get_eval_values(key, with_lpips=args.use_lpips,
+                              save_grids_dir=out_dir if args.debug_plot else None)
     for k, v in vals.items():
         results[k] = v.tolist() if isinstance(v, np.ndarray) else v
     results["dataset_bpd"] = ev.get_loss(key)
