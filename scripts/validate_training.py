@@ -78,7 +78,6 @@ def run_one(model_name: str, args) -> dict:
         preprocess_range=pr, beta_max=beta,
         beta_min=beta if model_name == "svg" else 1e-7,
         n_conditions=3, n_predictions=3,
-        grad_clip=100.0 if model_name in ("glow", "rfn") else 0.0,
     )
     ds = MovingMNIST(seq_len=args.n_frames, image_size=img,
                      digit_size=img // 2,
