@@ -1,0 +1,35 @@
+"""Serving Predictor: checkpoint -> compiled inference round trip."""
+
+import jax
+import numpy as np
+
+from recurrent_flows_tpu.config import TrainConfig
+from recurrent_flows_tpu.data import MovingMNIST
+from recurrent_flows_tpu.models import RFN
+from recurrent_flows_tpu.serving import Predictor
+from recurrent_flows_tpu.training import Trainer
+
+from test_rfn import tiny_cfg  # noqa: E402
+
+
+def test_predictor_from_checkpoint(tmp_path):
+    cfg = tiny_cfg()
+    tcfg = TrainConfig(batch_size=2, n_frames=4, steps_per_epoch=1,
+                       beta_steps=10)
+    ds = MovingMNIST(seq_len=4, image_size=16, digit_size=8, num_digits=1)
+    tr = Trainer(RFN(cfg, remat=False), tcfg, ds, str(tmp_path)).build(run_ddi=False)
+    tr.train_epoch(steps=1)
+    tr.checkpoint("last")
+
+    pred = Predictor.from_checkpoint(
+        str(tmp_path / "model_folder" / "last"), n_conditions=2, n_predictions=3
+    )
+    pred.warmup(batch_size=2, image_size=16, channels=1)
+    ctx = np.asarray(ds.sample(jax.random.key(0), 2))
+    out = pred.predict(ctx)
+    assert out.shape == (2, 3, 16, 16, 1)
+    assert out.min() >= 0.0 and out.max() <= 1.0
+    rec = pred.reconstruct(ctx)
+    assert rec.shape == (2, 3, 16, 16, 1)
+    s = pred.sample(ctx[:, 0], 4)
+    assert s.shape == (2, 4, 16, 16, 1)
