@@ -38,6 +38,9 @@ from ..utils.numerics import batch_reduce, free_bits_kl, normal_kl, normal_sampl
 
 class RFN(nn.Module):
     cfg: RFNConfig
+    # remat=True measured FASTER on v5e for the KTH-size train step
+    # (20.8 vs 18.4 steps/s): recomputing the scan body beats spilling its
+    # activations to HBM. Keep on.
     remat: bool = True
     # compute dtype for the MXU-bound conv stacks (extractor/upscaler/LSTMs);
     # the flow's logdet-sensitive math always runs f32. e.g. jnp.bfloat16.
