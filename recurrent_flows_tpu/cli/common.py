@@ -72,6 +72,8 @@ def add_trainer_args(p):
     add_bool_arg(p, "multigpu", default=False,
                  help="shard the batch over all local devices (SPMD mesh)")
     add_bool_arg(p, "load_model", default=False)
+    add_bool_arg(p, "auto_resume", default=False,
+                 help="resume automatically when a checkpoint exists in --path")
     add_bool_arg(p, "verbose", default=False)
 
 
@@ -153,7 +155,11 @@ def run_training(model, args, x_channels: int):
     mesh = make_mesh() if args.multigpu and len(jax.devices()) > 1 else None
     tr = Trainer(model, tcfg, data, args.path, test_data=test_data, mesh=mesh)
     tr.build()
-    if args.load_model:
+    import os as _os
+
+    ckpt = _os.path.join(args.path, "model_folder", "last", "meta.json")
+    if args.load_model or (getattr(args, "auto_resume", False) and
+                           _os.path.exists(ckpt)):
         tr.load("last")
     tr.fit()
     return tr

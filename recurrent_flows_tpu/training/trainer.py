@@ -331,6 +331,18 @@ class Trainer:
         return self
 
     def status(self, epoch_loss: float):
+        import json as _json
+
+        beta_now = self.beta_schedule(self.counter)
+        rec = dict(epoch=self.epoch_i, loss=epoch_loss,
+                   kl=self.kl_hist[-1] if self.kl_hist else None,
+                   nll=self.recon_hist[-1] if self.recon_hist else None,
+                   bits=self.bits_hist[-1] if self.bits_hist else None,
+                   beta=beta_now, lr=self.plateau.lr, step=self.counter,
+                   step_stats=self.step_timer.stats())
+        with open(os.path.join(self.workdir, "model_folder", "metrics.jsonl"),
+                  "a") as f:
+            f.write(_json.dumps(rec) + "\n")
         path = os.path.join(self.workdir, "model_folder", "status.txt")
         with open(path, "a") as f:
             beta = self.beta_schedule(self.counter)
