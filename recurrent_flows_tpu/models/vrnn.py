@@ -108,22 +108,27 @@ class VRNN(nn.Module):
 
     # ------------------------------------------------------------------
     def predict(self, x, n_predictions: int, n_conditions: int, rng):
+        """Warmup advances the posterior-driven LSTM but the rollout
+        continues the PRIOR latent chain (reference VRNN.py:255-306)."""
         b = x.shape[0]
         feats = self._features(x[:, :n_conditions])
-        h0, c0, _, z0x = self.get_inits(b)
+        h0, c0, z0, z0x = self.get_inits(b)
         kw, kr = jax.random.split(rng)
 
         def warm(carry, xs):
-            h, c, zxprev = carry
+            h, c, zprev, zxprev = carry
             feat_prev, feat_t, key = xs
             lstm_in = jnp.concatenate([feat_prev, self.phi_z(zxprev)], -1)
             h, c = self.lstm(lstm_in, h, c)
+            k1, k2 = jax.random.split(key)
+            pm, ps = self.prior(h)
+            z_t = normal_sample(k1, pm, ps)
             em, es = self.enc(jnp.concatenate([h, feat_t], -1))
-            zx_t = normal_sample(key, em, es)
-            return (h, c, zx_t), None
+            zx_t = normal_sample(k2, em, es)
+            return (h, c, z_t, zx_t), None
 
-        (h, c, zprev), _ = jax.lax.scan(
-            warm, (h0, c0, z0x),
+        (h, c, zprev, _), _ = jax.lax.scan(
+            warm, (h0, c0, z0, z0x),
             (feats[:-1], feats[1:], jax.random.split(kw, n_conditions - 1)),
         )
         prediction = x[:, n_conditions - 1]
