@@ -106,6 +106,26 @@ def train_config_from_args(args) -> TrainConfig:
     )
 
 
+class FixedSubsetSampler:
+    """Cycle a fixed pool of sampler keys — the generated-data equivalent of
+    the reference's 500-item training subset (--use_validation_set,
+    RFN/trainer.py:155-157): fast-iteration smoke runs see the same small
+    set of sequences every epoch."""
+
+    def __init__(self, inner, n_items: int = 500, batch_size: int = 32):
+        import jax
+
+        self.inner = inner
+        self.n_batches = max(n_items // batch_size, 1)
+        self._keys = jax.random.split(jax.random.key(1234), self.n_batches)
+        self._i = 0
+
+    def sample(self, key, batch_size: int):
+        k = self._keys[self._i % self.n_batches]
+        self._i += 1
+        return self.inner.sample(k, batch_size)
+
+
 def build_dataset(args, train: bool = True):
     from ..data import KTH, MovingMNIST, MovingShapes, PushDataset
 
@@ -151,6 +171,8 @@ def run_training(model, args, x_channels: int):
 
     tcfg = train_config_from_args(args)
     data = build_dataset(args, train=True)
+    if getattr(args, "use_validation_set", False) and hasattr(data, "sample"):
+        data = FixedSubsetSampler(data, 500, args.batch_size)
     test_data = build_dataset(args, train=False)
     mesh = make_mesh() if args.multigpu and len(jax.devices()) > 1 else None
     tr = Trainer(model, tcfg, data, args.path, test_data=test_data, mesh=mesh)
