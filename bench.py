@@ -78,6 +78,13 @@ def measure_ours() -> float:
                                method="predict")
         return preds
 
+    # compiled-cost introspection: achieved FLOP/s goes into BENCH_DETAILS
+    try:
+        lowered = rollout.lower(variables, x, jax.random.key(3))
+        cost = lowered.compile().cost_analysis()
+        measure_ours.rollout_flops = float(cost.get("flops", 0.0))
+    except Exception:
+        measure_ours.rollout_flops = 0.0
     preds = rollout(variables, x, jax.random.key(3))
     preds.block_until_ready()  # compile + warmup
     n_runs = 20  # async dispatch, one final block: device throughput, not
@@ -236,8 +243,13 @@ def main():
     ours = measure_ours()
     vs = ours / baseline if baseline == baseline and baseline > 0 else 0.0
     try:
+        flops = getattr(measure_ours, "rollout_flops", 0.0)
+        rollout_s = BENCH["batch_size"] * BENCH["n_predictions"] / ours
         details = dict(train_step=measure_train_step(),
                        rollout_frames_per_s=ours,
+                       rollout_flops=flops,
+                       rollout_tflops_per_s=round(flops / rollout_s / 1e12, 3)
+                       if flops else None,
                        torch_reference_rollout_fps=baseline)
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "BENCH_DETAILS.json"), "w") as f:
