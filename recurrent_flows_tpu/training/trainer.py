@@ -93,7 +93,8 @@ class Trainer:
       data: object with ``.sample(key, batch_size) -> [B,T,H,W,C] in [0,1]``
         (on-device generator) or an iterable of numpy batches.
       workdir: output directory (checkpoints, pngs, status.txt).
-      use_logdet: pass logdet=0.0 through loss (flow models).
+      mesh: optional jax.sharding.Mesh for SPMD training (batch over
+        'data', optional spatial sharding over 'model').
     """
 
     def __init__(self, model, tcfg: TrainConfig, data, workdir: str,
