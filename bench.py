@@ -39,6 +39,10 @@ _BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 def measure_ours() -> float:
     import jax
 
+    from recurrent_flows_tpu.utils.compilation_cache import enable as _cache
+
+    _cache()
+
     from recurrent_flows_tpu.config import GlowConfig, RFNConfig
     from recurrent_flows_tpu.models import RFN
 

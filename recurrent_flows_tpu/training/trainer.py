@@ -125,6 +125,9 @@ class Trainer:
     # -- build ------------------------------------------------------------
 
     def build(self, rng: Optional[jax.Array] = None, run_ddi: bool = True):
+        from ..utils.compilation_cache import enable as _enable_cache
+
+        _enable_cache()
         tcfg = self.tcfg
         os.makedirs(os.path.join(self.workdir, "png_folder"), exist_ok=True)
         os.makedirs(os.path.join(self.workdir, "model_folder"), exist_ok=True)
