@@ -63,24 +63,35 @@ def build_blob(videos: Iterable[np.ndarray], out_path: str) -> str:
     return out_path
 
 
-def blob_from_loader(loader, out_path: str, max_videos: Optional[int] = None) -> str:
+def blob_from_loader(loader, out_path: str, max_videos: Optional[int] = None,
+                     channels: Optional[int] = None) -> str:
     """Convert a KTH/PushDataset-style loader's videos into a blob.
 
     Decodes each video's PNG frames once (the one-time cost the reference
-    paid per epoch in its DataLoader workers).
+    paid per epoch in its DataLoader workers). ``channels`` defaults to the
+    loader's convention: 1 for KTH (grayscale, channel 0 like the
+    reference's kth.py:52-57), 3 for BAIR.
     """
-    videos = []
     sources = getattr(loader, "videos", None) or getattr(loader, "trajs", None)
     assert sources, "loader exposes no frame lists"
+    if channels is None:
+        channels = 1 if hasattr(loader, "videos") else 3
     from matplotlib import image as mpimg
 
+    videos = []
     for frames in sources[: max_videos or len(sources)]:
         imgs = []
         for p in frames:
             img = mpimg.imread(p)
             if img.ndim == 2:
                 img = img[..., None]
-            imgs.append(img[..., :3] if img.shape[-1] > 3 else img)
+            if channels == 1:
+                img = img[..., :1]
+            else:
+                img = img[..., :3]
+                if img.shape[-1] < 3:
+                    img = np.repeat(img[..., :1], 3, axis=-1)
+            imgs.append(img)
         videos.append(np.stack(imgs))
     return build_blob(videos, out_path)
 
