@@ -68,6 +68,11 @@ class Evaluator:
             return preds.swapaxes(0, 1)  # [B, n_pred, H, W, C]
 
         self._rollout = jax.jit(rollout)
+        # all resamples in ONE device program (the reference loops python
+        # resamples, error_metrics.py:446-515)
+        self._rollout_multi = jax.jit(
+            jax.vmap(rollout, in_axes=(None, None, 0))
+        )
 
         def loss_fn(v, x, key):
             return model.apply(v, x, key, method="loss")
@@ -97,9 +102,10 @@ class Evaluator:
                 x[:, s.n_conditions : s.n_conditions + s.n_predictions]
             )
             tracks = {m: [] for m in ("ssim", "psnr", "mse", "lpips")}
+            keys = jax.random.split(jax.random.fold_in(kb, 100), s.resamples)
+            all_preds = self.post(self._rollout_multi(self.variables, x, keys))
             for r in range(s.resamples):
-                kr = jax.random.fold_in(kb, 100 + r)
-                preds = self.post(self._rollout(self.variables, x, kr))
+                preds = all_preds[r]
                 res = eval_seq(true_future, preds, s.data_range)
                 for m in ("ssim", "psnr", "mse"):
                     tracks[m].append(np.asarray(res[m]))
