@@ -121,7 +121,7 @@ def _axis_bounce(key, pos, vel_this, vel_other, limit, step, deterministic):
     jax.jit,
     static_argnames=(
         "seq_len", "image_size", "num_digits", "step_length", "deterministic",
-        "batch_size",
+        "batch_size", "fixed_start",
     ),
 )
 def sample_moving_mnist(
@@ -134,6 +134,7 @@ def sample_moving_mnist(
     step_length: int,
     deterministic: bool,
     batch_size: int,
+    fixed_start=None,
 ):
     """Sample a batch: returns (frames [B,T,H,W,1] in [0,1], hit_boundary [B,T])."""
     n_bank, ds, _ = digits.shape
@@ -142,8 +143,12 @@ def sample_moving_mnist(
     shape = (batch_size, num_digits)
     idx = jax.random.randint(kd, shape, 0, n_bank)
     sprites = digits[idx]  # [B, n, ds, ds]
-    sx = jax.random.randint(kx, shape, 0, limit)
-    sy = jax.random.randint(ky, shape, 0, limit)
+    if fixed_start is not None:
+        sx = jnp.full(shape, fixed_start[0], jnp.int32)
+        sy = jnp.full(shape, fixed_start[1], jnp.int32)
+    else:
+        sx = jax.random.randint(kx, shape, 0, limit)
+        sy = jax.random.randint(ky, shape, 0, limit)
     dx = jax.random.randint(kvx, shape, -step_length, step_length + 1)
     dy = jax.random.randint(kvy, shape, -step_length, step_length + 1)
 
@@ -197,6 +202,7 @@ class MovingMNIST:
         normalize: bool = False,
         make_target: bool = False,
         synchronized: bool = False,
+        set_starting_position: bool = False,
         seed: Optional[int] = None,
     ):
         bank = load_mnist_digits(data_root, train=train)
@@ -212,6 +218,9 @@ class MovingMNIST:
         self.normalize = normalize
         self.make_target = make_target
         self.synchronized = synchronized
+        # fixed start position for interpolation experiments (reference
+        # stochasticMovingMnist.py:27-29,63-74: sx=16, sy=4 at 64px)
+        self.set_starting_position = set_starting_position
         self.seed = seed
 
     def sample(self, key, batch_size: int):
@@ -229,6 +238,10 @@ class MovingMNIST:
             step_length=self.step_length,
             deterministic=self.deterministic,
             batch_size=batch_size,
+            fixed_start=(
+                (self.image_size // 4, self.image_size // 16)
+                if self.set_starting_position else None
+            ),
         )
         if self.normalize:
             x = (x - 0.1307) / 0.3081

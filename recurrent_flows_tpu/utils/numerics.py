@@ -80,3 +80,25 @@ def unsqueeze2d(x: jax.Array) -> jax.Array:
     x = x.reshape(b, h, w, c // 4, 2, 2)
     x = x.transpose(0, 1, 4, 2, 5, 3)  # [B, H, 2, W, 2, C/4]
     return x.reshape(b, h * 2, w * 2, c // 4)
+
+
+def conv_output_size(dims, kernels, paddings, strides, dilations=None,
+                     output_paddings=None, transpose: bool = False):
+    """Conv / transposed-conv output-shape calculator.
+
+    Reference Utils/utils.py:63-84 (used to size the SRNN/VRNN dense heads).
+    ``dims`` is (h, w); the per-layer lists apply in order.
+    """
+    out_h, out_w = dims
+    dilations = dilations or [1] * len(kernels)
+    if not transpose:
+        for k, p, s, d in zip(kernels, paddings, strides, dilations):
+            out_h = (out_h + 2 * p - d * (k - 1) - 1) // s + 1
+            out_w = (out_w + 2 * p - d * (k - 1) - 1) // s + 1
+    else:
+        assert output_paddings is not None, "transpose needs output_paddings"
+        for k, p, s, d, op in zip(kernels, paddings, strides, dilations,
+                                  output_paddings):
+            out_h = (out_h - 1) * s - 2 * p + d * (k - 1) + op + 1
+            out_w = (out_w - 1) * s - 2 * p + d * (k - 1) + op + 1
+    return out_h, out_w
