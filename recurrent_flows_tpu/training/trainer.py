@@ -273,12 +273,13 @@ class Trainer:
                 self.bits_hist.append(float(m["bits"]))
         return float(np.mean(self.losses)) if self.losses else float("nan")
 
-    def fit(self, n_epochs: Optional[int] = None, plot: bool = True):
+    def fit(self, n_epochs: Optional[int] = None, plot: bool = True,
+            plot_every: int = 1):
         n_epochs = n_epochs if n_epochs is not None else self.tcfg.n_epochs
         for _ in range(n_epochs):
             self.epoch_i += 1
             epoch_loss = self.train_epoch()
-            if plot:
+            if plot and self.epoch_i % plot_every == 0:
                 try:
                     self.plotter()
                 except Exception as e:  # plotting must never kill training
