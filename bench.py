@@ -246,6 +246,19 @@ def main():
     baseline = get_baseline()
     ours = measure_ours()
     vs = ours / baseline if baseline == baseline and baseline > 0 else 0.0
+    # primary line FIRST (the driver records stdout; secondary measurements
+    # below are slower and must never block it)
+    print(
+        json.dumps(
+            dict(
+                metric="rfn_rollout_frames_per_sec_per_chip",
+                value=round(ours, 2),
+                unit="frames/s",
+                vs_baseline=round(vs, 2),
+            )
+        ),
+        flush=True,
+    )
     try:
         flops = getattr(measure_ours, "rollout_flops", 0.0)
         rollout_s = BENCH["batch_size"] * BENCH["n_predictions"] / ours
@@ -260,16 +273,6 @@ def main():
             json.dump(details, f, indent=2)
     except Exception as e:  # secondary metrics must not break the bench line
         print(f"# train-step bench failed: {e}")
-    print(
-        json.dumps(
-            dict(
-                metric="rfn_rollout_frames_per_sec_per_chip",
-                value=round(ours, 2),
-                unit="frames/s",
-                vs_baseline=round(vs, 2),
-            )
-        )
-    )
 
 
 if __name__ == "__main__":
