@@ -9,11 +9,15 @@ vectorized elementwise (VPU-friendly); no per-pixel loops.
 
 from __future__ import annotations
 
+import math
+
 import jax
 import jax.numpy as jnp
 
 _HALF_BIN = 1.0 / 255.0
-_LOG_127_5 = jnp.log(127.5)
+# Plain python float: a module-level jnp.log() would initialize the JAX
+# backend at import time, breaking platform selection in __graft_entry__.
+_LOG_127_5 = math.log(127.5)
 
 
 def _log_prob_from_logits(x):

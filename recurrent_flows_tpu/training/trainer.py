@@ -349,12 +349,16 @@ class Trainer:
                   "a") as f:
             f.write(_json.dumps(rec) + "\n")
         path = os.path.join(self.workdir, "model_folder", "status.txt")
+        # An epoch with zero completed steps (e.g. empty iterable dataset)
+        # leaves the histories empty; don't crash the persistence path.
+        kl = self.kl_hist[-1] if self.kl_hist else float("nan")
+        nll = self.recon_hist[-1] if self.recon_hist else float("nan")
+        bits = self.bits_hist[-1] if self.bits_hist else float("nan")
         with open(path, "a") as f:
-            beta = self.beta_schedule(self.counter)
             f.write(
                 f"epoch {self.epoch_i} loss {epoch_loss:.4f} "
-                f"kl {self.kl_hist[-1]:.4f} nll {self.recon_hist[-1]:.4f} "
-                f"bits {self.bits_hist[-1]:.4f} beta {beta:.5f} "
+                f"kl {kl:.4f} nll {nll:.4f} "
+                f"bits {bits:.4f} beta {beta_now:.5f} "
                 f"lr {self.plateau.lr:.6f}\n"
             )
 

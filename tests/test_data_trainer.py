@@ -72,6 +72,19 @@ def test_trainer_end_to_end(tmp_path):
     assert np.isfinite(l1)
 
 
+def test_trainer_status_empty_epoch(tmp_path):
+    """status() must not crash when an epoch completed zero steps
+    (VERDICT r1 Weak #6: unguarded self.kl_hist[-1])."""
+    cfg = tiny_cfg()
+    tcfg = TrainConfig(batch_size=2, n_frames=4, beta_steps=10)
+    ds = MovingMNIST(seq_len=4, image_size=16, digit_size=8, num_digits=1)
+    tr = Trainer(RFN(cfg, remat=False), tcfg, ds, str(tmp_path)).build(run_ddi=False)
+    assert tr.kl_hist == []
+    tr.status(epoch_loss=float("nan"))  # must not raise
+    with open(os.path.join(str(tmp_path), "model_folder", "status.txt")) as f:
+        assert "epoch" in f.read()
+
+
 def test_trainer_multidevice_mesh(tmp_path):
     from recurrent_flows_tpu.parallel import make_mesh
 
