@@ -44,6 +44,12 @@ def add_data_args(p):
     p.add_argument("--step_length", type=int, default=4)
     p.add_argument("--num_digits", type=int, default=2)
     p.add_argument("--data_root", type=str, default="./data")
+    p.add_argument("--digit_bank", choices=["auto", "mnist", "synthetic", "sklearn"],
+                   default="auto",
+                   help="MovingMNIST digit source: real MNIST IDX files "
+                        "(scripts/fetch_mnist.py), procedural sprites, or "
+                        "sklearn's real 8x8 digits; auto = mnist if on disk "
+                        "else synthetic")
     add_bool_arg(p, "use_validation_set", default=False)
 
 
@@ -139,6 +145,7 @@ def build_dataset(args, train: bool = True):
             num_digits=args.num_digits,
             step_length=args.step_length,
             deterministic=False,
+            digit_bank=getattr(args, "digit_bank", "auto"),
         )
     if args.choose_data == "shapes":
         return MovingShapes(seq_len=args.n_frames, image_size=args.image_size)
@@ -171,6 +178,15 @@ def run_training(model, args, x_channels: int):
 
     tcfg = train_config_from_args(args)
     data = build_dataset(args, train=True)
+    if hasattr(data, "bank_kind"):
+        # truth-in-labeling (VERDICT r1): make the digit source unmissable
+        # in both the console and the run's on-disk record
+        print(f"[data] MovingMNIST digit bank: {data.bank_kind}")
+        import os as _os2
+
+        _os2.makedirs(_os2.path.join(args.path, "model_folder"), exist_ok=True)
+        with open(_os2.path.join(args.path, "model_folder", "status.txt"), "a") as f:
+            f.write(f"data_source moving_mnist bank={data.bank_kind}\n")
     if getattr(args, "use_validation_set", False) and hasattr(data, "sample"):
         data = FixedSubsetSampler(data, 500, args.batch_size)
     test_data = build_dataset(args, train=False)

@@ -1,4 +1,5 @@
-from .moving_mnist import MovingMNIST, load_mnist_digits, synthetic_digit_bank
+from .moving_mnist import (MovingMNIST, load_mnist_digits,
+                           sklearn_digit_bank, synthetic_digit_bank)
 from .shapes import MovingShapes, sample_moving_shapes
 from .sinusoids import SinusWithNoise, sample_sinusoids
 from .halfmoon import RotatingTwoMoonsConditionalSampler, two_moons
@@ -10,6 +11,7 @@ __all__ = [
     "MovingMNIST",
     "load_mnist_digits",
     "synthetic_digit_bank",
+    "sklearn_digit_bank",
     "MovingShapes",
     "sample_moving_shapes",
     "SinusWithNoise",

@@ -37,11 +37,13 @@ import numpy as np
 
 
 def load_mnist_digits(data_root: str, train: bool = True) -> Optional[np.ndarray]:
-    """Parse MNIST IDX image files ([N,28,28] float32 in [0,1]) if present.
+    """Parse real MNIST ([N,28,28] float32 in [0,1]) if present on disk.
 
     Looks for ``{train,t10k}-images-idx3-ubyte[.gz]`` under ``data_root``
-    (including the torchvision-style ``MNIST/raw`` subdir). Returns None when
-    the files are absent.
+    (including the torchvision-style ``MNIST/raw`` subdir) or a Keras-style
+    ``mnist.npz``. Provision with ``scripts/fetch_mnist.py`` (needs network;
+    the reference downloads via torchvision,
+    stochasticMovingMnist.py:30-36). Returns None when absent.
     """
     stem = "train-images-idx3-ubyte" if train else "t10k-images-idx3-ubyte"
     candidates = [
@@ -59,7 +61,28 @@ def load_mnist_digits(data_root: str, train: bool = True) -> Optional[np.ndarray
             assert magic == 2051, f"bad IDX magic in {path}"
             data = np.frombuffer(f.read(n * rows * cols), dtype=np.uint8)
         return data.reshape(n, rows, cols).astype(np.float32) / 255.0
+    npz = os.path.join(data_root, "mnist.npz")
+    if os.path.exists(npz):
+        with np.load(npz) as data:
+            arr = data["x_train" if train else "x_test"]
+        return np.asarray(arr, np.float32) / 255.0
     return None
+
+
+def sklearn_digit_bank(train: bool = True) -> Optional[np.ndarray]:
+    """Real handwritten digits from sklearn's bundled UCI set (8x8, 1797).
+
+    NOT MNIST — much lower resolution — but genuinely real pen strokes,
+    available offline. Honest middle ground when the IDX files can't be
+    provisioned (zero-egress hosts).
+    """
+    try:
+        from sklearn.datasets import load_digits
+    except ImportError:  # pragma: no cover
+        return None
+    images = load_digits().images.astype(np.float32) / 16.0
+    split = int(len(images) * 0.9)
+    return images[:split] if train else images[split:]
 
 
 def synthetic_digit_bank(seed: int = 0, n: int = 512, size: int = 28) -> np.ndarray:
@@ -204,10 +227,10 @@ class MovingMNIST:
         synchronized: bool = False,
         set_starting_position: bool = False,
         seed: Optional[int] = None,
+        digit_bank: str = "auto",
     ):
-        bank = load_mnist_digits(data_root, train=train)
-        if bank is None:
-            bank = synthetic_digit_bank(seed=0 if train else 1)
+        bank, kind = self._load_bank(digit_bank, data_root, train)
+        self.bank_kind = kind  # truth-in-labeling: record what we trained on
         self.digits = jnp.asarray(_resize_bank(bank, digit_size))
         self.seq_len = seq_len
         self.num_digits = num_digits
@@ -222,6 +245,34 @@ class MovingMNIST:
         # stochasticMovingMnist.py:27-29,63-74: sx=16, sy=4 at 64px)
         self.set_starting_position = set_starting_position
         self.seed = seed
+
+    @staticmethod
+    def _load_bank(digit_bank: str, data_root: str, train: bool):
+        """Resolve the digit bank. Returns (array [N,s,s] in [0,1], kind).
+
+        kinds: "mnist-idx" (real MNIST from disk), "sklearn-digits" (real
+        UCI 8x8 digits), "synthetic" (procedural sprites). "auto" prefers
+        real MNIST, else synthetic — callers should surface ``bank_kind``
+        in any reported result (VERDICT r1: headline numbers must state
+        their data source).
+        """
+        if digit_bank in ("auto", "mnist"):
+            bank = load_mnist_digits(data_root, train=train)
+            if bank is not None:
+                return bank, "mnist-idx"
+            if digit_bank == "mnist":
+                raise FileNotFoundError(
+                    f"digit_bank='mnist' but no IDX/npz files under {data_root!r}; "
+                    "run scripts/fetch_mnist.py on a networked host"
+                )
+        if digit_bank == "sklearn":
+            bank = sklearn_digit_bank(train=train)
+            if bank is None:
+                raise ImportError("digit_bank='sklearn' requires scikit-learn")
+            return bank, "sklearn-digits"
+        if digit_bank not in ("auto", "synthetic"):
+            raise ValueError(f"unknown digit_bank {digit_bank!r}")
+        return synthetic_digit_bank(seed=0 if train else 1), "synthetic"
 
     def sample(self, key, batch_size: int):
         """Returns [B,T,H,W,C] in [0,1] (+ hit_boundary when synchronized)."""
