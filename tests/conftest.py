@@ -17,3 +17,34 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 
 jax.config.update("jax_default_matmul_precision", "highest")
+
+
+# ---------------------------------------------------------------------------
+# Tiering: `-m fast` = a <2 min smoke tier (numerics oracles, import purity,
+# data plumbing). Individual tests elsewhere may also carry @pytest.mark.fast.
+# Heavy training/parity tests carry @pytest.mark.slow explicitly.
+# ---------------------------------------------------------------------------
+
+import os.path as _osp
+
+_FAST_FILES = {
+    "test_oracle_flows.py",
+    "test_oracle_nn.py",
+    "test_oracle_listglow.py",
+    "test_scan_semantics.py",
+    "test_import_purity.py",
+    "test_pallas_ops.py",
+    "test_file_datasets.py",
+    "test_distributed.py",
+    "test_mol.py",
+    "test_digit_banks.py",
+    "test_schedules.py",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    import pytest as _pytest
+
+    for item in items:
+        if _osp.basename(str(item.fspath)) in _FAST_FILES:
+            item.add_marker(_pytest.mark.fast)
