@@ -52,6 +52,9 @@ def load_model_from_checkpoint(ckpt_dir: str, temperature=None):
     variables = {
         "params": jax.tree.map(jnp.asarray, state["params"]),
         "consts": jax.tree.map(jnp.asarray, state.get("consts", {}) or {}),
+        # extra collections, e.g. batch_stats for flow_norm='batchnorm'
+        # (refreshed by the Trainer at checkpoint time)
+        **jax.tree.map(jnp.asarray, state.get("stats", {}) or {}),
     }
     tcfg = config_from_dict(TrainConfig, meta["train_config"])
     return model, variables, tcfg, meta
@@ -71,10 +74,28 @@ def build_parser():
                    help="temperature sweep mode")
     p.add_argument("--fvd_embedder", default="auto",
                    choices=["auto", "i3d", "random3d"])
+    p.add_argument("--fvd_horizon", type=int, default=None,
+                   help="FVD over only this many predicted frames")
     add_bool_arg(p, "use_fvd", default=True)
     add_bool_arg(p, "use_lpips", default=True)
     add_bool_arg(p, "debug_plot", default=True)
+    add_bool_arg(p, "thesis_protocol", default=False,
+                 help="the reference's published protocol (eval_settings.py"
+                      ":186-219): 30-frame test sequences, predict from "
+                      "frame 5, best-of-30 resamples, FVD over 13 frames, "
+                      "temperature 0.7")
     return p
+
+
+def apply_thesis_protocol(args):
+    """Overwrite the knobs with the reference protocol constants."""
+    args.n_conditions = 5
+    args.n_predictions = 25  # 30-frame sequences, predict from frame 5
+    args.resamples = 30
+    args.fvd_horizon = 13
+    if args.temperature is None:
+        args.temperature = 0.7
+    return args
 
 
 def _evaluate_once(model, variables, tcfg, args, out_dir, temperature=None):
@@ -117,6 +138,7 @@ def _evaluate_once(model, variables, tcfg, args, out_dir, temperature=None):
         n_batches=args.n_batches,
         batch_size=args.batch_size,
         temperature=temperature,
+        fvd_horizon=args.fvd_horizon,
     )
     ev = Evaluator(model, variables, ModelSpaceData(), settings, postprocess=post)
     key = jax.random.key(0)
@@ -133,11 +155,15 @@ def _evaluate_once(model, variables, tcfg, args, out_dir, temperature=None):
     if args.debug_plot:
         ev.plot_long_rollout(key, 40, os.path.join(out_dir, "long_rollout.png"))
         ev.plot_diversity(key, 4, os.path.join(out_dir, "diversity.png"))
+        ev.plot_random_samples(key, 5, path=os.path.join(out_dir,
+                                                         "plot_rollouts.png"))
     return results
 
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    if args.thesis_protocol:
+        args = apply_thesis_protocol(args)
     ckpt_dir = os.path.join(args.path, "model_folder", args.checkpoint)
     out_dir = os.path.join(args.path, "eval")
     os.makedirs(out_dir, exist_ok=True)

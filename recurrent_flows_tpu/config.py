@@ -80,6 +80,11 @@ class GlowConfig:
     batchnorm_momentum: float = 0.0
     clamp_type: str = "realnvp"  # {glow, realnvp, softclamp, none}
     split2d_act: str = "softplus"  # {softplus, exp}
+    # coupling-net conv implementation: 'conv' (XLA convolution), 'im2col'
+    # (flattened matmul — keeps the MXU fed on the deep small-spatial
+    # scales), 'fused' (Pallas whole-GlowStep kernel where supported),
+    # 'auto' (im2col for small spatial maps, conv otherwise)
+    coupling_impl: str = "conv"
 
 
 # --------------------------------------------------------------------------

@@ -5,7 +5,7 @@ from .sinusoids import SinusWithNoise, sample_sinusoids
 from .halfmoon import RotatingTwoMoonsConditionalSampler, two_moons
 from .kth import KTH
 from .bair import PushDataset
-from .celeba import get_celeba, get_joint_conditioned_data
+from .celeba import get_celeba, get_joint_conditioned_data, prepare_celeba
 
 __all__ = [
     "MovingMNIST",
@@ -20,6 +20,7 @@ __all__ = [
     "two_moons",
     "KTH",
     "PushDataset",
+    "prepare_celeba",
     "get_celeba",
     "get_joint_conditioned_data",
 ]

@@ -38,6 +38,9 @@ class EvalSettings:
     batch_size: int = 8
     temperature: Optional[float] = None  # None = model default
     data_range: float = 1.0
+    # FVD over the first fvd_horizon predicted frames only (thesis protocol:
+    # 13, reference eval_settings.py:218-219). None = all n_predictions.
+    fvd_horizon: Optional[int] = None
 
 
 class Evaluator:
@@ -166,8 +169,13 @@ class Evaluator:
         return float(np.mean(vals))
 
     def get_fvd_values(self, key, embedder: str = "auto") -> Dict:
-        """Rollouts vs ground-truth futures -> FVD (reference :1006-1063)."""
+        """Rollouts vs ground-truth futures -> FVD (reference :1006-1063).
+
+        When ``settings.fvd_horizon`` is set, only the first that many
+        predicted frames enter the embedding (thesis protocol: 13,
+        reference eval_settings.py fvd_predicts)."""
         s = self.s
+        horizon = s.fvd_horizon or s.n_predictions
         real, fake = [], []
         for i in range(s.n_batches):
             kb = jax.random.fold_in(key, 7000 + i)
@@ -175,10 +183,10 @@ class Evaluator:
             preds = self.post(self._rollout(self.variables, x, jax.random.fold_in(kb, 1)))
             real.append(
                 np.asarray(
-                    self.post(x[:, s.n_conditions : s.n_conditions + s.n_predictions])
+                    self.post(x[:, s.n_conditions : s.n_conditions + horizon])
                 )
             )
-            fake.append(np.asarray(preds))
+            fake.append(np.asarray(preds)[:, :horizon])
         return fvd(np.concatenate(real), np.concatenate(fake), embedder=embedder)
 
     def importance_weighted_elbo(self, key, K: int = 20) -> float:
@@ -314,6 +322,45 @@ class Evaluator:
 
     def _to_model_space(self, x):
         return x
+
+    def plot_random_samples(self, key, n_sequences: int = 5,
+                            n_show: int = 7, path: Optional[str] = None):
+        """Grid of rollouts: conditioned frames boxed red, predicted boxed
+        green (reference plot_random_samples, error_metrics.py:1378-1415:
+        predict(image, 10, 3), rows = sequences, cols = timesteps)."""
+        s = self.s
+        x = self.data.sample(key, max(self.s.batch_size, n_sequences))
+        preds = self.post(self._rollout(self.variables, x,
+                                        jax.random.fold_in(key, 1)))
+        conds = self.post(x[:, : s.n_conditions])
+        seq = np.concatenate([np.asarray(conds), np.asarray(preds)], axis=1)
+        n_show = min(n_show, seq.shape[1])
+        if path:
+            import matplotlib
+
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+
+            fig, ax = plt.subplots(n_sequences, n_show,
+                                   figsize=(n_show, n_sequences),
+                                   gridspec_kw=dict(wspace=0.06, hspace=0))
+            for k in range(n_sequences):
+                for i in range(n_show):
+                    a = ax[k, i] if n_sequences > 1 else ax[i]
+                    frame = seq[k, i]
+                    a.imshow(frame.squeeze(-1) if frame.shape[-1] == 1 else frame,
+                             cmap="gray" if frame.shape[-1] == 1 else None)
+                    color = "red" if i < s.n_conditions else "green"
+                    for spine in a.spines.values():
+                        spine.set_edgecolor(color)
+                        spine.set_linewidth(3)
+                    a.set_xticks([])
+                    a.set_yticks([])
+                    if k == 0:
+                        a.set_title(f"$t={i + 1}$", fontsize=13)
+            fig.savefig(path, bbox_inches="tight")
+            plt.close(fig)
+        return seq[:n_sequences, :n_show]
 
     def plot_diversity(self, key, n_samples: int = 5, path: Optional[str] = None):
         """Multiple rollouts from the same conditioning (reference :1328-1376)."""

@@ -80,26 +80,45 @@ def _stats(feats) -> Tuple[np.ndarray, np.ndarray]:
     return mu, sigma
 
 
-def fvd(videos_real, videos_fake, embedder: str = "auto", batch: int = 16):
+def fvd(videos_real, videos_fake, embedder: str = "auto", batch: int = 16,
+        i3d_weights: str = None):
     """Fréchet Video Distance between two [N,T,H,W,C] video sets in [0,1].
 
     Returns dict(fvd=..., embedder=...). Chunks into ``batch``-video groups
     like the reference (FVD_score.py:60-79).
-    """
-    if embedder == "auto":
-        try:  # pragma: no cover
-            import tensorflow_hub  # noqa: F401
 
+    ``embedder='i3d'`` uses the pure-JAX I3D (evaluation/i3d.py) when a
+    weights npz is available (``i3d_weights`` arg, RFT_I3D_WEIGHTS env, or
+    ./data/i3d_kinetics400.npz — see scripts/export_i3d_weights.py), else
+    falls back to the TF-Hub graph (needs network), else errors.
+    """
+    from . import i3d as i3d_mod
+
+    i3d_params = None
+    if embedder in ("auto", "i3d"):
+        path = i3d_weights or i3d_mod.default_weights_path()
+        if path is not None:
+            i3d_params = i3d_mod.load_params(path)
+
+    if embedder == "auto":
+        if i3d_params is not None:
             embedder = "i3d"
-        except Exception:
-            embedder = "random3d"
+        else:
+            try:  # pragma: no cover
+                import tensorflow_hub  # noqa: F401
+
+                embedder = "i3d"
+            except Exception:
+                embedder = "random3d"
 
     def embed_all(videos):
         outs = []
         n = videos.shape[0]
         for i in range(0, n, batch):
             chunk = videos[i : i + batch]
-            if embedder == "i3d":  # pragma: no cover
+            if embedder == "i3d" and i3d_params is not None:
+                outs.append(i3d_mod.i3d_embed(np.asarray(chunk), i3d_params))
+            elif embedder == "i3d":  # pragma: no cover - needs network
                 outs.append(_i3d_embed(np.asarray(chunk)))
             else:
                 outs.append(np.asarray(_random3d_embed(jnp.asarray(chunk))))
@@ -107,4 +126,5 @@ def fvd(videos_real, videos_fake, embedder: str = "auto", batch: int = 16):
 
     mu1, s1 = _stats(embed_all(videos_real))
     mu2, s2 = _stats(embed_all(videos_fake))
-    return dict(fvd=frechet_distance(mu1, s1, mu2, s2), embedder=embedder)
+    name = embedder if i3d_params is None or embedder != "i3d" else "i3d-jax"
+    return dict(fvd=frechet_distance(mu1, s1, mu2, s2), embedder=name)

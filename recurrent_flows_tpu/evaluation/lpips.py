@@ -38,8 +38,29 @@ def _feature_pyramid(x, seed: int = 0):
     return feats
 
 
-def lpips_distance(a, b, backend: str = "auto"):
-    """Perceptual distance per batch element; a, b: [B,H,W,C] in [-1,1]."""
+def lpips_distance(a, b, backend: str = "auto", weights: str = None):
+    """Perceptual distance per batch element; a, b: [B,H,W,C] in [-1,1].
+
+    ``backend='alex'`` uses the pure-JAX AlexNet-LPIPS
+    (evaluation/alexnet_lpips.py) given a weights npz (``weights`` arg,
+    RFT_LPIPS_WEIGHTS env, or ./data/lpips_alex.npz — produced by
+    scripts/export_lpips_weights.py on a networked host).
+    """
+    from . import alexnet_lpips as alex_mod
+
+    alex_params = None
+    if backend in ("auto", "alex"):
+        path = weights or alex_mod.default_weights_path()
+        if path is not None:
+            alex_params = alex_mod.load_params(path)
+        elif backend == "alex":
+            raise FileNotFoundError(
+                "backend='alex' needs a weights npz "
+                "(scripts/export_lpips_weights.py)"
+            )
+    if alex_params is not None:
+        return alex_mod.lpips_alex(alex_params, a, b)
+
     if backend == "auto":
         try:  # pragma: no cover
             import lpips  # noqa: F401

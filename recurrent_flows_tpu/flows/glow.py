@@ -63,6 +63,7 @@ class GlowStep(nn.Module):
             hidden_units=cfg.n_units_affine,
             non_lin=cfg.non_lin,
             clamp_type=cfg.clamp_type,
+            impl=getattr(cfg, "coupling_impl", "conv"),
             name="affine",
         )
         if not reverse:

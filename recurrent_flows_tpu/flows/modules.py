@@ -100,6 +100,48 @@ class BatchNormFlow(nn.Module):
         return y, logdet
 
 
+def conv2d_im2col(x, kernel, bias=None):
+    """3x3 (or kxk) same-padding conv as ONE flattened matmul.
+
+    [B,H,W,Cin] x [k,k,Cin,Cout] -> [B,H,W,Cout]. On the deep flow scales
+    (4x4/2x2 maps, few output channels) XLA's conv underutilizes the MXU
+    (PERF.md "known headroom"); im2col turns the whole conv into a single
+    [B*H*W, k*k*Cin] @ [k*k*Cin, Cout] matmul with a large contraction.
+    """
+    k = kernel.shape[0]
+    p = (k - 1) // 2
+    b, h, w, cin = x.shape
+    xp = jnp.pad(x, ((0, 0), (p, p), (p, p), (0, 0)))
+    patches = jnp.concatenate(
+        [xp[:, dy : dy + h, dx : dx + w, :] for dy in range(k) for dx in range(k)],
+        axis=-1,
+    )  # [B,H,W,k*k*Cin], block order (dy, dx, cin) == kernel.reshape order
+    wmat = kernel.reshape(k * k * cin, kernel.shape[-1])
+    y = patches.reshape(b * h * w, k * k * cin) @ wmat
+    y = y.reshape(b, h, w, kernel.shape[-1])
+    if bias is not None:
+        y = y + bias
+    return y
+
+
+class _ConvParams(nn.Module):
+    """Bare conv kernel/bias params with nn.Conv's exact naming, for conv
+    implementations that consume the weights directly (im2col/fused)."""
+
+    out_channels: int
+    kernel: int
+    kernel_init: object
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, cin: int):
+        k = self.param("kernel", self.kernel_init,
+                       (self.kernel, self.kernel, cin, self.out_channels))
+        b = (self.param("bias", nn.initializers.zeros, (self.out_channels,))
+             if self.use_bias else None)
+        return k, b
+
+
 class Conv2dZeros(nn.Module):
     """Zero-initialized conv with learned output gain exp(3*logs).
 
@@ -108,18 +150,25 @@ class Conv2dZeros(nn.Module):
 
     out_channels: int
     kernel: int = 3
+    impl: str = "conv"  # {conv, im2col}
 
     @nn.compact
     def __call__(self, x):
         p = (self.kernel - 1) // 2
-        y = nn.Conv(
-            self.out_channels,
-            kernel_size=(self.kernel, self.kernel),
-            padding=((p, p), (p, p)),
-            kernel_init=nn.initializers.zeros,
-            bias_init=nn.initializers.zeros,
-            name="conv",
-        )(x)
+        if self.impl == "im2col":
+            kern, bias = _ConvParams(self.out_channels, self.kernel,
+                                     nn.initializers.zeros, name="conv")(
+                x.shape[-1])
+            y = conv2d_im2col(x, kern, bias)
+        else:
+            y = nn.Conv(
+                self.out_channels,
+                kernel_size=(self.kernel, self.kernel),
+                padding=((p, p), (p, p)),
+                kernel_init=nn.initializers.zeros,
+                bias_init=nn.initializers.zeros,
+                name="conv",
+            )(x)
         logs = self.param("logs", nn.initializers.zeros, (self.out_channels,))
         return y * jnp.exp(logs * 3.0)
 
@@ -133,19 +182,27 @@ class Conv2dNorm(nn.Module):
     out_channels: int
     kernel: int = 3
     norm: str = "actnorm"
+    impl: str = "conv"  # {conv, im2col}
 
     @nn.compact
     def __call__(self, x, ddi: bool = False):
         p = (self.kernel - 1) // 2
-        y = nn.Conv(
-            self.out_channels,
-            kernel_size=(self.kernel, self.kernel),
-            padding=((p, p), (p, p)),
-            use_bias=(self.norm != "actnorm"),
-            kernel_init=nn.initializers.normal(stddev=0.05),
-            bias_init=nn.initializers.zeros,
-            name="conv",
-        )(x)
+        if self.impl == "im2col":
+            kern, bias = _ConvParams(self.out_channels, self.kernel,
+                                     nn.initializers.normal(stddev=0.05),
+                                     use_bias=(self.norm != "actnorm"),
+                                     name="conv")(x.shape[-1])
+            y = conv2d_im2col(x, kern, bias)
+        else:
+            y = nn.Conv(
+                self.out_channels,
+                kernel_size=(self.kernel, self.kernel),
+                padding=((p, p), (p, p)),
+                use_bias=(self.norm != "actnorm"),
+                kernel_init=nn.initializers.normal(stddev=0.05),
+                bias_init=nn.initializers.zeros,
+                name="conv",
+            )(x)
         if self.norm == "actnorm":
             y, _ = ActNorm(self.out_channels, name="actnorm")(y, None, ddi=ddi)
         elif self.norm == "batchnorm":
@@ -231,17 +288,24 @@ class AffineCoupling(nn.Module):
     non_lin: str = "relu"
     clamp_type: str = "realnvp"
     norm: str = "actnorm"  # norm used inside the coupling net convs
+    impl: str = "conv"  # {conv, im2col, auto}
 
     @nn.compact
     def __call__(self, x, condition, logdet=None, reverse: bool = False, ddi: bool = False):
         z1, z2 = split_feature(x, "split")
         assert condition.shape[1:3] == x.shape[1:3], "condition/x spatial mismatch"
+        impl = self.impl
+        if impl == "auto":
+            # im2col wins on small maps where XLA's conv starves the MXU
+            impl = "im2col" if x.shape[1] * x.shape[2] <= 256 else "conv"
         h = jnp.concatenate([z1, condition], axis=-1)
-        h = Conv2dNorm(self.hidden_units, 3, norm=self.norm, name="net0")(h, ddi=ddi)
+        h = Conv2dNorm(self.hidden_units, 3, norm=self.norm, impl=impl,
+                       name="net0")(h, ddi=ddi)
         h = act(h, self.non_lin)
-        h = Conv2dNorm(self.hidden_units, 1, norm=self.norm, name="net1")(h, ddi=ddi)
+        h = Conv2dNorm(self.hidden_units, 1, norm=self.norm, impl=impl,
+                       name="net1")(h, ddi=ddi)
         h = act(h, self.non_lin)
-        out = Conv2dZeros(self.x_channels, name="net2")(h)
+        out = Conv2dZeros(self.x_channels, impl=impl, name="net2")(h)
         shift, log_scale = split_feature(out, "cross")
 
         if self.clamp_type == "glow":

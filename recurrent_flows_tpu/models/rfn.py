@@ -165,7 +165,7 @@ class RFN(nn.Module):
         _ = normal_kl(enc_mean, enc_std, prior_mean, prior_std)
         return nll
 
-    def ddi(self, x, rng):
+    def ddi(self, x, rng, *, ddi: bool = True):
         """Data-dependent-init pass (apply with mutable=['ddi'])."""
         cfg = self.cfg
         b = x.shape[0]
@@ -182,8 +182,19 @@ class RFN(nn.Module):
         zxt = normal_sample(k, enc_mean, enc_std)
         skips_prev = [f[0] for f in feats] if feats is not None else None
         conds, hz = self._flow_conditions(ht, zxt, skips_prev)
-        _, nll = self.flow.log_prob(x[:, 1], conds, hz, rng, ddi=True)
+        _, nll = self.flow.log_prob(x[:, 1], conds, hz, rng, ddi=ddi)
         return nll
+
+    def stats_refresh(self, x, rng):
+        """Refresh BatchNormFlow running stats (apply with
+        mutable=['batch_stats']) — one forward pass OUTSIDE the training
+        scan, since lax.scan bodies cannot mutate collections.
+
+        Needed before reverse-direction sampling when flow_norm='batchnorm'
+        (reference alternative keeps running stats inside the module,
+        Flow/glow_modules.py:56-104). No-op for flow_norm='actnorm'.
+        """
+        return self.ddi(x, rng, ddi=False)
 
     # ------------------------------------------------------------------
     def _unroll_h(self, f_last, batch):

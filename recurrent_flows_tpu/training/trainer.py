@@ -39,6 +39,10 @@ class TrainState(struct.PyTreeNode):
     consts: Any
     opt_state: Any
     step: jax.Array
+    # extra non-trainable collections, e.g. {'batch_stats': ...} when
+    # flow_norm='batchnorm' (refreshed outside the scan; see
+    # Trainer.refresh_stats)
+    stats: Any = struct.field(default_factory=dict)
 
 
 # --------------------------------------------------------------------------
@@ -161,6 +165,8 @@ class Trainer:
             consts=variables["consts"],
             opt_state=opt_state,
             step=jnp.zeros((), jnp.int32),
+            stats={k: v for k, v in variables.items()
+                   if k not in ("params", "consts")},
         )
         if self.mesh is not None:
             self.state = replicate(self.mesh, self.state)
@@ -178,9 +184,9 @@ class Trainer:
         tcfg = self.tcfg
         model = self.model
 
-        def loss_fn(params, consts, x, rng):
-            out = model.apply({"params": params, "consts": consts}, x, rng,
-                              method="loss")
+        def loss_fn(params, consts, stats, x, rng):
+            out = model.apply({"params": params, "consts": consts, **stats},
+                              x, rng, method="loss")
             return out
 
         mesh = self.mesh
@@ -191,7 +197,7 @@ class Trainer:
                 x = spatial_constraint(mesh, x)
 
             def objective(params):
-                out = loss_fn(params, state.consts, x, rng)
+                out = loss_fn(params, state.consts, state.stats, x, rng)
                 loss = out["nll"] + beta * out["kl_free_bits"]
                 return loss, out
 
@@ -300,6 +306,12 @@ class Trainer:
     def checkpoint(self, name: str):
         import dataclasses as _dc
 
+        try:
+            # checkpoints must carry usable running stats for reverse
+            # sampling (flow_norm='batchnorm'); no-op otherwise
+            self.refresh_stats()
+        except Exception as e:  # pragma: no cover - never block persistence
+            print(f"refresh_stats failed: {e}")
         model_cfg = getattr(self.model, "cfg", None)
         meta = dict(
             model_class=type(self.model).__name__,
@@ -366,13 +378,34 @@ class Trainer:
 
     @property
     def variables(self):
-        return {"params": self.state.params, "consts": self.state.consts}
+        return {"params": self.state.params, "consts": self.state.consts,
+                **(self.state.stats or {})}
+
+    def refresh_stats(self):
+        """Update running batch stats (flow_norm='batchnorm') with one
+        out-of-scan forward pass on a fresh batch, so reverse-direction
+        sampling sees trained statistics. No-op otherwise."""
+        stats = self.state.stats or {}
+        if "batch_stats" not in stats:
+            return
+        self._rng, k_data, k = jax.random.split(self._rng, 3)
+        batch = self._host_batch(k_data)
+        x = preprocess(batch, self.tcfg.n_bits, self.tcfg.preprocess_range,
+                       self.tcfg.preprocess_scale)
+        _, mutated = self.model.apply(
+            self.variables, x, k, method="stats_refresh",
+            mutable=["batch_stats"],
+        )
+        self.state = self.state.replace(
+            stats={**stats, "batch_stats": mutated["batch_stats"]}
+        )
 
     # -- plotting ----------------------------------------------------------------
 
     def plotter(self):
         """Loss curves + true/sample/prediction/recon grids (reference
         RFN/trainer.py:325-417)."""
+        self.refresh_stats()  # reverse sampling needs live running stats
         import matplotlib
 
         matplotlib.use("Agg")

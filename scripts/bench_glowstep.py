@@ -1,0 +1,99 @@
+#!/usr/bin/env python
+"""Microbenchmark: K GlowSteps fwd(+bwd) per production-config flow scale.
+
+The production RFN (L=5, 64px) runs its K=10 GlowStep chains at spatial
+scales 32,16,8,4,2 with channels 4,8,16,32,64 — the deep scales leave the
+MXU underutilized under XLA's conv path (PERF.md "known headroom"). This
+script times each scale for the available coupling implementations so
+kernel experiments iterate in seconds instead of the ~6 min production
+recompile.
+
+Run on the TPU: python scripts/bench_glowstep.py [--impl xla,im2col,...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+from recurrent_flows_tpu.config import GlowConfig
+from recurrent_flows_tpu.flows.glow import GlowStep
+
+# (H, C, cond_C) per scale of the 64px production config; B*T rows flow
+# through each scale per loss eval (B=30, T-1=9 -> 270)
+SCALES = [
+    (32, 4, 16),
+    (16, 8, 32),
+    (8, 16, 64),
+    (4, 32, 128),
+    (2, 64, 256),
+]
+BT = 270
+K = 10
+
+
+def time_stack(h, c, cc, *, impl: str, n_runs: int = 30, with_grad: bool = True):
+    cfg = GlowConfig(L=1, K=K, n_units_affine=256, coupling_impl=impl)
+    steps = [GlowStep(c, cfg, spatial_shape=(h, h, c)) for _ in range(K)]
+    x = jax.random.normal(jax.random.key(0), (BT, h, h, c))
+    cond = jax.random.normal(jax.random.key(1), (BT, h, h, cc))
+    variables = []
+    for i, step in enumerate(steps):
+        variables.append(step.init(jax.random.key(2 + i), x, cond))
+
+    def stack(params_list, x):
+        logdet = jnp.zeros((x.shape[0],))
+        for step, v, p in zip(steps, variables, params_list):
+            x, logdet = step.apply(
+                {"params": p, "consts": v.get("consts", {})}, x, cond, logdet
+            )
+        return x, logdet
+
+    if with_grad:
+        def loss(params_list, x):
+            z, logdet = stack(params_list, x)
+            return jnp.sum(z ** 2) - jnp.sum(logdet)
+
+        fn = jax.jit(jax.grad(loss))
+    else:
+        fn = jax.jit(stack)
+
+    params_list = [v["params"] for v in variables]
+    out = fn(params_list, x)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(n_runs):
+        out = fn(params_list, x)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / n_runs
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--impls", default="conv")
+    ap.add_argument("--runs", type=int, default=30)
+    ap.add_argument("--fwd_only", action="store_true")
+    args = ap.parse_args()
+    results = {}
+    for impl in args.impls.split(","):
+        per_scale = {}
+        for h, c, cc in SCALES:
+            dt = time_stack(h, c, cc, impl=impl, n_runs=args.runs,
+                            with_grad=not args.fwd_only)
+            per_scale[f"{h}x{h}xc{c}"] = round(dt * 1000, 3)
+        per_scale["total_ms"] = round(sum(per_scale.values()), 3)
+        results[impl] = per_scale
+        print(json.dumps({impl: per_scale}), flush=True)
+    return results
+
+
+if __name__ == "__main__":
+    main()

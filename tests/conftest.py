@@ -48,3 +48,5 @@ def pytest_collection_modifyitems(config, items):
     for item in items:
         if _osp.basename(str(item.fspath)) in _FAST_FILES:
             item.add_marker(_pytest.mark.fast)
+_FAST_FILES.add("test_embedders.py")
+_FAST_FILES.add("test_celeba_path.py")

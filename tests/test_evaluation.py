@@ -111,6 +111,50 @@ def test_evaluator_protocol_and_compare_bpp():
     assert np.isfinite(bpp["rfn"])
 
 
+def test_plot_random_samples_and_fvd_horizon(tmp_path):
+    """plot_random_samples grid (reference error_metrics.py:1378-1415) +
+    fvd_horizon truncation (thesis protocol FVD over 13 frames)."""
+    cfg = tiny_cfg()
+    model = RFN(cfg, remat=False)
+    ds = MovingMNIST(seq_len=6, image_size=16, digit_size=8, num_digits=1)
+    x = ds.sample(jax.random.key(0), 2) - 0.5
+    v = model.init(jax.random.key(1), x, jax.random.key(2))
+
+    class Shifted:
+        def sample(self, key, bs):
+            return ds.sample(key, bs) - 0.5
+
+    ev = Evaluator(
+        model, v, Shifted(),
+        EvalSettings(n_conditions=2, n_predictions=4, resamples=2, n_batches=1,
+                     batch_size=2, fvd_horizon=2),
+        postprocess=lambda a: jnp.clip(a + 0.5, 0, 1),
+    )
+    out = str(tmp_path / "rollouts.png")
+    seq = ev.plot_random_samples(jax.random.key(3), n_sequences=2, path=out)
+    assert seq.shape[0] == 2 and seq.shape[1] == 6  # 2 cond + 4 pred
+    import os
+    assert os.path.exists(out)
+    f = ev.get_fvd_values(jax.random.key(5), embedder="random3d")
+    assert np.isfinite(f["fvd"])
+
+
+def test_thesis_protocol_preset_constants():
+    """--thesis_protocol matches reference eval_settings.py:186-219."""
+    from recurrent_flows_tpu.cli.eval_settings import (
+        apply_thesis_protocol,
+        build_parser,
+    )
+
+    args = build_parser().parse_args(["--path", "/tmp/x", "--thesis_protocol"])
+    args = apply_thesis_protocol(args)
+    assert args.n_conditions == 5
+    assert args.n_conditions + args.n_predictions == 30
+    assert args.resamples == 30
+    assert args.fvd_horizon == 13
+    assert args.temperature == 0.7
+
+
 def test_average_model_baseline():
     ds = MovingMNIST(seq_len=8, image_size=16, digit_size=8, num_digits=1)
     m = SimpleLinearModel(n_conditions=3)
