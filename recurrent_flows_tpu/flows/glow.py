@@ -45,10 +45,86 @@ class GlowStep(nn.Module):
     cfg: GlowConfig
     spatial_shape: tuple = ()
 
+    def _fused_eligible(self, x, ddi: bool) -> bool:
+        cfg = self.cfg
+        return (
+            getattr(cfg, "coupling_impl", "conv") == "fused"
+            and cfg.flow_norm == "actnorm"
+            and cfg.lu_decomposed
+            and not ddi
+            and not self.is_initializing()
+            and x.shape[1] * x.shape[2] <= 256
+        )
+
+    def _fused(self, x, condition, logdet, reverse: bool):
+        """Whole-step Pallas kernel (ops/pallas/glowstep.py). Params are
+        read from this module's bound scope — the tree is created by the
+        normal path at init, so checkpoints are impl-independent."""
+        from ..ops.pallas.glowstep import GlowStepParams, glowstep_fused
+
+        cfg = self.cfg
+        c = self.channels
+        hw = x.shape[1] * x.shape[2]
+        p = self.variables["params"]
+        consts = self.variables["consts"]
+        inv, invc = p["invconv"], consts["invconv"]
+        l_mask = jnp.tril(jnp.ones((c, c), jnp.float32), -1)
+        eye = jnp.eye(c, dtype=jnp.float32)
+        lower = inv["lower"] * l_mask + eye
+        upper = inv["upper"] * l_mask.T + jnp.diag(
+            invc["sign_s"] * jnp.exp(inv["log_s"])
+        )
+        if reverse:
+            u_inv = jax.scipy.linalg.solve_triangular(upper, eye, lower=False)
+            l_inv = jax.scipy.linalg.solve_triangular(
+                lower, eye, lower=True, unit_diagonal=True
+            )
+            weight = u_inv @ l_inv @ invc["p"].T
+        else:
+            weight = invc["p"] @ lower @ upper
+        aff = p["affine"]
+        u = cfg.n_units_affine
+        wa = aff["net0"]["conv"]["kernel"].reshape(9, -1, u)
+        wb = aff["net1"]["conv"]["kernel"].reshape(u, u)
+        e3 = jnp.exp(3.0 * aff["net2"]["logs"])
+        perm = jnp.concatenate(
+            [jnp.arange(0, c, 2), jnp.arange(1, c, 2)]
+        )  # 'cross' split pre-permutation: evens (shift) then odds (scale)
+        wc = (aff["net2"]["conv"]["kernel"] * e3)[..., perm].reshape(9, u, c)
+        bias_c = (aff["net2"]["conv"]["bias"] * e3)[perm]
+        half = c // 2
+        if cfg.clamp_type == "realnvp":
+            cl_scale, cl_shift = aff["scale"], aff["scale_shift"]
+        else:
+            cl_scale = cl_shift = jnp.zeros((half,), jnp.float32)
+        params = GlowStepParams(
+            an_bias=p["norm"]["bias"],
+            an_logs=p["norm"]["logs"],
+            w1x1=weight.T,
+            wa=wa,
+            ana_bias=aff["net0"]["actnorm"]["bias"],
+            ana_logs=aff["net0"]["actnorm"]["logs"],
+            wb=wb,
+            anb_bias=aff["net1"]["actnorm"]["bias"],
+            anb_logs=aff["net1"]["actnorm"]["logs"],
+            wc=wc,
+            bias_c=bias_c,
+            clamp_scale=cl_scale,
+            clamp_shift=cl_shift,
+        )
+        y, dyn_ld = glowstep_fused(x, condition, params, cfg.clamp_type, reverse)
+        static_ld = (jnp.sum(p["norm"]["logs"]) + jnp.sum(inv["log_s"])) * hw
+        if logdet is not None:
+            total = dyn_ld + static_ld
+            logdet = logdet - total if reverse else logdet + total
+        return y, logdet
+
     @nn.compact
     def __call__(self, x, condition, logdet=None, reverse: bool = False,
                  training: bool = True, ddi: bool = False):
         cfg = self.cfg
+        if self._fused_eligible(x, ddi):
+            return self._fused(x, condition, logdet, reverse)
         if cfg.flow_norm == "batchnorm":
             norm = BatchNormFlow(
                 self.spatial_shape, momentum=cfg.batchnorm_momentum, name="norm"

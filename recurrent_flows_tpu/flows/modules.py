@@ -296,8 +296,11 @@ class AffineCoupling(nn.Module):
         assert condition.shape[1:3] == x.shape[1:3], "condition/x spatial mismatch"
         impl = self.impl
         if impl == "auto":
-            # im2col wins on small maps where XLA's conv starves the MXU
-            impl = "im2col" if x.shape[1] * x.shape[2] <= 256 else "conv"
+            # im2col wins only on the tiniest maps (measured on v5e, grad
+            # step: 2.05x at 4x4, tie at 2x2, WORSE at 8x8+ where the
+            # patch blowup costs more than the MXU starvation — see
+            # scripts/bench_glowstep.py)
+            impl = "im2col" if x.shape[1] * x.shape[2] <= 16 else "conv"
         h = jnp.concatenate([z1, condition], axis=-1)
         h = Conv2dNorm(self.hidden_units, 3, norm=self.norm, impl=impl,
                        name="net0")(h, ddi=ddi)

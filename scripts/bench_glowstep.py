@@ -86,6 +86,8 @@ def main():
     for impl in args.impls.split(","):
         per_scale = {}
         for h, c, cc in SCALES:
+            if impl in ("im2col", "fused") and h * h > 256:
+                continue  # im2col is a small-spatial lever only ('auto' gate)
             dt = time_stack(h, c, cc, impl=impl, n_runs=args.runs,
                             with_grad=not args.fwd_only)
             per_scale[f"{h}x{h}xc{c}"] = round(dt * 1000, 3)

@@ -50,3 +50,4 @@ def pytest_collection_modifyitems(config, items):
             item.add_marker(_pytest.mark.fast)
 _FAST_FILES.add("test_embedders.py")
 _FAST_FILES.add("test_celeba_path.py")
+_FAST_FILES.add("test_fused_glowstep.py")
