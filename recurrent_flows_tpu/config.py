@@ -81,10 +81,10 @@ class GlowConfig:
     clamp_type: str = "realnvp"  # {glow, realnvp, softclamp, none}
     split2d_act: str = "softplus"  # {softplus, exp}
     # coupling-net conv implementation: 'conv' (XLA convolution), 'im2col'
-    # (flattened matmul — keeps the MXU fed on the deep small-spatial
-    # scales), 'fused' (Pallas whole-GlowStep kernel where supported),
-    # 'auto' (im2col for small spatial maps, conv otherwise)
-    coupling_impl: str = "conv"
+    # (flattened matmul), 'fused' (Pallas whole-GlowStep kernel where
+    # supported), 'auto' (on TPU: fused kernel on the deep <=4x4 scales
+    # where it measures ~2x conv, XLA conv otherwise; off-TPU: conv)
+    coupling_impl: str = "auto"
 
 
 # --------------------------------------------------------------------------

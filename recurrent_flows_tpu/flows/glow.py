@@ -47,13 +47,25 @@ class GlowStep(nn.Module):
 
     def _fused_eligible(self, x, ddi: bool) -> bool:
         cfg = self.cfg
+        impl = getattr(cfg, "coupling_impl", "conv")
+        if impl == "fused":
+            max_hw = 256  # forced: any scale the kernel supports
+        elif impl == "auto":
+            # measured on v5e (scripts/bench_glowstep.py, grad step):
+            # fused ~2x conv at 4x4/2x2 (the MXU-starved deep scales),
+            # loses at 8x8+. interpret-mode pallas is never a perf path,
+            # so auto only engages on real TPU.
+            if jax.default_backend() != "tpu":
+                return False
+            max_hw = 16
+        else:
+            return False
         return (
-            getattr(cfg, "coupling_impl", "conv") == "fused"
-            and cfg.flow_norm == "actnorm"
+            cfg.flow_norm == "actnorm"
             and cfg.lu_decomposed
             and not ddi
             and not self.is_initializing()
-            and x.shape[1] * x.shape[2] <= 256
+            and x.shape[1] * x.shape[2] <= max_hw
         )
 
     def _fused(self, x, condition, logdet, reverse: bool):

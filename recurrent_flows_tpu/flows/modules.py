@@ -295,12 +295,13 @@ class AffineCoupling(nn.Module):
         z1, z2 = split_feature(x, "split")
         assert condition.shape[1:3] == x.shape[1:3], "condition/x spatial mismatch"
         impl = self.impl
-        if impl == "auto":
-            # im2col wins only on the tiniest maps (measured on v5e, grad
-            # step: 2.05x at 4x4, tie at 2x2, WORSE at 8x8+ where the
-            # patch blowup costs more than the MXU starvation — see
-            # scripts/bench_glowstep.py)
-            impl = "im2col" if x.shape[1] * x.shape[2] <= 16 else "conv"
+        if impl not in ("conv", "im2col"):
+            # 'auto' resolves at the GlowStep level (fused Pallas kernel on
+            # the deep scales, scripts/bench_glowstep.py); here — i.e. for
+            # DDI/init passes and non-eligible configs — XLA's conv wins at
+            # every scale (2026-08 v5e grad-step measurements: im2col 1.1-5x
+            # slower than conv across 16x16..2x2).
+            impl = "conv"
         h = jnp.concatenate([z1, condition], axis=-1)
         h = Conv2dNorm(self.hidden_units, 3, norm=self.norm, impl=impl,
                        name="net0")(h, ddi=ddi)

@@ -149,9 +149,11 @@ def _kernel(x_ref, cond_ref, *param_refs, out_ref, ld_ref, clamp_type,
 
 
 def _pick_batch_tile(b: int, h: int, w: int) -> int:
-    """Rows per program ~4k keeps matmuls MXU-sized and VMEM bounded.
-    Must be a multiple of 8 (sublane tile constraint on the ld output)."""
-    target = max(8, (4096 // (h * w)) // 8 * 8)
+    """Rows per program ~2k keeps matmuls MXU-sized while the unrolled
+    3x3's nine U-wide shifted slices (the VMEM hot spot: 9*rows*U*4B at
+    U=256 is ~18MB/2k rows) fit the raised 64MB scoped-VMEM budget. Must
+    be a multiple of 8 (sublane tile constraint on the ld output)."""
+    target = max(8, (2048 // (h * w)) // 8 * 8)
     return min(-(-b // 8) * 8, target)
 
 
@@ -190,6 +192,12 @@ def _glowstep_pallas(x, cond, p: GlowStepParams, clamp_type: str,
             jax.ShapeDtypeStruct(x.shape, jnp.float32),
             jax.ShapeDtypeStruct((b_pad, 128), jnp.float32),
         ),
+        # the unrolled 3x3s keep up to 9 shifted U-wide slices live; the
+        # default 16MB scoped-VMEM cap is too tight at U=256 with wide
+        # cond channels (v5e has 128MB VMEM)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024
+        ) if _HAS_PALLAS and hasattr(pltpu, "CompilerParams") else None,
         # CPU (tests / virtual meshes): interpreter mode
         interpret=(jax.default_backend() != "tpu"),
     )(x, cond, *p)

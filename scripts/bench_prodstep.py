@@ -1,0 +1,79 @@
+"""Production-config (thesis L=5, 36M-param RFN) train-step timing.
+
+Times the jitted loss+grad step (B=30, T=10 — the exact thesis workload,
+configs.rfn_mnist_production) per coupling_impl, so flow-kernel changes
+can be validated against the end-to-end number that matters
+(docs/PERF.md "Production thesis config").
+
+Usage: python scripts/bench_prodstep.py [--impls conv,auto] [--runs 20]
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+from recurrent_flows_tpu.configs import rfn_mnist_production
+from recurrent_flows_tpu.models import RFN
+from recurrent_flows_tpu.utils.compilation_cache import enable as _enable_cache
+
+
+def time_step(impl: str, runs: int) -> float:
+    cfg, tcfg = rfn_mnist_production()
+    cfg = dataclasses.replace(
+        cfg, glow=dataclasses.replace(cfg.glow, coupling_impl=impl)
+    )
+    model = RFN(cfg)
+    b, t = tcfg.batch_size, tcfg.n_frames
+    x = jax.random.uniform(
+        jax.random.key(0), (b, t, cfg.image_size, cfg.image_size, 1)
+    ) - 0.5
+    variables = model.init(jax.random.key(1), x[:2], jax.random.key(2))
+
+    @jax.jit
+    def step(params, x, key):
+        def loss_fn(p):
+            out = model.apply(
+                {"params": p, "consts": variables.get("consts", {})},
+                x, key, method="loss",
+            )
+            return out["nll"] + out["kl_free_bits"]
+
+        return jax.value_and_grad(loss_fn)(params)
+
+    params = variables["params"]
+    out = step(params, x, jax.random.key(3))
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for i in range(runs):
+        out = step(params, x, jax.random.key(4 + i))
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / runs
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--impls", default="conv,auto")
+    ap.add_argument("--runs", type=int, default=20)
+    args = ap.parse_args()
+    _enable_cache()
+    for impl in args.impls.split(","):
+        dt = time_step(impl, args.runs)
+        print(json.dumps({
+            "impl": impl,
+            "loss_grad_ms": round(dt * 1000, 2),
+            "steps_per_s": round(1.0 / dt, 2),
+        }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

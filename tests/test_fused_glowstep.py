@@ -81,6 +81,22 @@ def test_fused_gradients_match_module():
 
 
 @pytest.mark.fast
+def test_auto_impl_uses_conv_off_tpu():
+    """coupling_impl='auto' (the default) must not engage interpret-mode
+    pallas on CPU — it resolves to the plain conv path and matches it."""
+    cfg_auto = GlowConfig(L=1, K=1, n_units_affine=U, coupling_impl="auto")
+    cfg_conv = GlowConfig(L=1, K=1, n_units_affine=U, coupling_impl="conv")
+    sa, sc = GlowStep(C, cfg_auto), GlowStep(C, cfg_conv)
+    x = jax.random.normal(jax.random.key(0), (B, 2, 2, C))
+    cond = jax.random.normal(jax.random.key(1), (B, 2, 2, CC))
+    v = sc.init(jax.random.key(2), x, cond)
+    za, la = sa.apply(v, x, cond, jnp.zeros(B))
+    zc, lc = sc.apply(v, x, cond, jnp.zeros(B))
+    np.testing.assert_array_equal(np.asarray(za), np.asarray(zc))
+    np.testing.assert_array_equal(np.asarray(la), np.asarray(lc))
+
+
+@pytest.mark.fast
 def test_fused_falls_back_on_large_spatial():
     """H*W > 256 -> the conv path runs (no kernel); results still match."""
     cfg = GlowConfig(L=1, K=1, n_units_affine=U, coupling_impl="fused")
