@@ -281,7 +281,23 @@ def main():
     try:
         flops = getattr(measure_ours, "rollout_flops", 0.0)
         rollout_s = BENCH["batch_size"] * BENCH["n_predictions"] / ours
+        # thesis-config (L=5, 36M params) loss+grad step — the workload the
+        # fused GlowStep kernel targets (scripts/bench_prodstep.py)
+        try:
+            sys_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                    "scripts")
+            import sys as _sys
+
+            _sys.path.insert(0, sys_path)
+            from bench_prodstep import time_step as _prod_time
+
+            dt = _prod_time("auto", runs=10)
+            prod = dict(loss_grad_ms=round(dt * 1000, 2),
+                        steps_per_s=round(1.0 / dt, 2))
+        except Exception as e:
+            prod = dict(error=str(e))
         details = dict(train_step=measure_train_step(),
+                       prod_loss_grad=prod,
                        rollout_frames_per_s=ours,
                        rollout_dispersion=getattr(measure_ours, "dispersion", None),
                        rollout_flops=flops,

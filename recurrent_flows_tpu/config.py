@@ -123,6 +123,12 @@ class RFNConfig:
     structure_scaler: int = 2
     norm_type: str = "none"  # prior/encoder nets
     norm_type_features: str = "batchnorm"  # extractor/upscaler
+    # torch-style batchnorm running averages (reference model.eval()):
+    # stats live in the 'batch_stats' collection, EMA-updated by
+    # Trainer.refresh_stats (out-of-scan), used when the model is built
+    # with eval_norm=True. Off by default: batch-stat normalization
+    # everywhere (documented TPU deviation).
+    track_running_stats: bool = False
     skip_connection_flow: str = "with_skip"  # {without_skip, with_skip, only_skip}
     skip_connection_features: bool = True
     downscaler_tanh: bool = False

@@ -45,6 +45,10 @@ class RFN(nn.Module):
     # compute dtype for the MXU-bound conv stacks (extractor/upscaler/LSTMs);
     # the flow's logdet-sensitive math always runs f32. e.g. jnp.bfloat16.
     compute_dtype: object = None
+    # torch model.eval() equivalent (instance-global, like the reference's):
+    # normalize with running-average batch stats everywhere. Only effective
+    # when cfg.track_running_stats is on (evaluation_metrics/error_metrics.py:70).
+    eval_norm: bool = False
 
     # ------------------------------------------------------------------
     def setup(self):
@@ -53,6 +57,7 @@ class RFN(nn.Module):
             cfg.skip_connection_flow == "without_skip"
             and not cfg.skip_connection_features
         )
+        self._ura = bool(self.eval_norm and cfg.track_running_stats)
         self.extractor = VGGDownscaler(
             cfg.extractor_structure,
             norm_type=cfg.norm_type_features,
@@ -61,6 +66,7 @@ class RFN(nn.Module):
             skip_con=self._use_skip_list,
             tanh=cfg.downscaler_tanh,
             dtype=self.compute_dtype,
+            track_running_stats=cfg.track_running_stats,
         )
         self.upscaler = VGGUpscaler(
             cfg.upscaler_structure,
@@ -70,17 +76,18 @@ class RFN(nn.Module):
             skips=cfg.skip_connection_features,
             tanh=cfg.upscaler_tanh,
             dtype=self.compute_dtype,
+            track_running_stats=cfg.track_running_stats,
         )
         self.lstm = ConvLSTMCell(cfg.h_dim, dtype=self.compute_dtype, name="lstm")
         if cfg.enable_smoothing:
             self.a_lstm = ConvLSTMCell(cfg.a_dim, dtype=self.compute_dtype, name="a_lstm")
         self.prior = SimpleParamNet(
             cfg.prior_structure, cfg.z_dim, norm_type=cfg.norm_type, non_lin="leakyrelu",
-            name="prior",
+            track_running_stats=cfg.track_running_stats, name="prior",
         )
         self.encoder = SimpleParamNet(
             cfg.encoder_structure, cfg.z_dim, norm_type=cfg.norm_type, non_lin="leakyrelu",
-            name="encoder",
+            track_running_stats=cfg.track_running_stats, name="encoder",
         )
         self.flow = ListGlow(cfg.x_channels, cfg.image_size, cfg.glow, name="flow")
 
@@ -100,6 +107,15 @@ class RFN(nn.Module):
         return (rep(self.h_0), rep(self.c_0), rep(self.a_0), rep(self.ca_0),
                 rep(self.z_0), rep(self.z_0x))
 
+    def _extract(self, x):
+        return self.extractor(x, use_running_average=self._ura)
+
+    def _enc_net(self, x):
+        return self.encoder(x, self._ura)
+
+    def _prior_net(self, x):
+        return self.prior(x, self._ura)
+
     def _features(self, x):
         """Extractor over all frames at once: [B,T,H,W,C] -> time-major feats.
 
@@ -109,7 +125,7 @@ class RFN(nn.Module):
         """
         b, t = x.shape[:2]
         flat = x.reshape((b * t,) + x.shape[2:])
-        out = self.extractor(flat)
+        out = self._extract(flat)
 
         def tm(a):  # [B*T, ...] -> [T, B, ...]
             a = a.astype(jnp.float32)
@@ -129,9 +145,9 @@ class RFN(nn.Module):
         cfg = self.cfg
         hz = jnp.concatenate([ht, zt], axis=-1)
         if cfg.skip_connection_features:
-            conds = self.upscaler(hz, skip_list=skips_prev)
+            conds = self.upscaler(hz, skip_list=skips_prev, use_running_average=self._ura)
         else:
-            conds = self.upscaler(hz)
+            conds = self.upscaler(hz, use_running_average=self._ura)
         conds = [c.astype(jnp.float32) for c in conds]
         if cfg.skip_connection_flow == "with_skip":
             conds = [jnp.concatenate([c, s], axis=-1) for c, s in zip(conds, skips_prev)]
@@ -155,8 +171,8 @@ class RFN(nn.Module):
             enc_in = jnp.concatenate([at, z0x], axis=-1)
         else:
             enc_in = jnp.concatenate([ht, z0x, f_last[1]], axis=-1)
-        enc_mean, enc_std = self.encoder(enc_in)
-        prior_mean, prior_std = self.prior(jnp.concatenate([ht, z0], axis=-1))
+        enc_mean, enc_std = self._enc_net(enc_in)
+        prior_mean, prior_std = self._prior_net(jnp.concatenate([ht, z0], axis=-1))
         zxt = enc_mean + enc_std * 0.0
         skips_prev = [f[0] for f in feats] if feats is not None else None
         conds, hz = self._flow_conditions(ht, zxt, skips_prev)
@@ -177,7 +193,7 @@ class RFN(nn.Module):
             enc_in = jnp.concatenate([at, z0x], axis=-1)
         else:
             enc_in = jnp.concatenate([ht, z0x, f_last[1]], axis=-1)
-        enc_mean, enc_std = self.encoder(enc_in)
+        enc_mean, enc_std = self._enc_net(enc_in)
         rng, k = jax.random.split(rng)
         zxt = normal_sample(k, enc_mean, enc_std)
         skips_prev = [f[0] for f in feats] if feats is not None else None
@@ -240,14 +256,14 @@ class RFN(nn.Module):
                 enc_in = jnp.concatenate([at, zxprev], axis=-1)
             else:
                 enc_in = jnp.concatenate([ht, zxprev, feat_t], axis=-1)
-            enc_mean, enc_std = self.encoder(enc_in)
+            enc_mean, enc_std = self._enc_net(enc_in)
             if cfg.res_q:
-                prior_mean, prior_std = self.prior(
+                prior_mean, prior_std = self._prior_net(
                     jnp.concatenate([ht, zxprev], axis=-1)
                 )
                 enc_mean = prior_mean + enc_mean
             else:
-                prior_mean, prior_std = self.prior(
+                prior_mean, prior_std = self._prior_net(
                     jnp.concatenate([ht, zprev], axis=-1)
                 )
             k1, k2, k3 = jax.random.split(key, 3)
@@ -306,7 +322,7 @@ class RFN(nn.Module):
             zp = zprev[:n]
             inp = jnp.concatenate([ht_d, zp], axis=-1)
             flat = inp.reshape((-1,) + inp.shape[2:])
-            pm, ps = self.prior(flat)
+            pm, ps = self._prior_net(flat)
             pm = pm.reshape((n,) + zp.shape[1:])
             ps = ps.reshape((n,) + zp.shape[1:])
             key = jax.random.fold_in(rng, 1000 + d)
@@ -345,12 +361,12 @@ class RFN(nn.Module):
                 enc_in = jnp.concatenate([at, zxprev], axis=-1)
             else:
                 enc_in = jnp.concatenate([ht, zxprev, feat_t], axis=-1)
-            enc_mean, enc_std = self.encoder(enc_in)
+            enc_mean, enc_std = self._enc_net(enc_in)
             if cfg.res_q:
-                prior_mean, prior_std = self.prior(jnp.concatenate([ht, zxprev], -1))
+                prior_mean, prior_std = self._prior_net(jnp.concatenate([ht, zxprev], -1))
                 enc_mean = prior_mean + enc_mean
             else:
-                prior_mean, prior_std = self.prior(jnp.concatenate([ht, zprev], -1))
+                prior_mean, prior_std = self._prior_net(jnp.concatenate([ht, zprev], -1))
             k1, k2 = jax.random.split(key)
             zt = normal_sample(k1, prior_mean, prior_std * kl_temperature)
             zxt = normal_sample(k2, enc_mean, enc_std)
@@ -379,13 +395,13 @@ class RFN(nn.Module):
         def step(carry, key):
             h, c, zprev, prediction = carry
             if self._use_skip_list:
-                cond_list = [c.astype(jnp.float32) for c in self.extractor(prediction)]
+                cond_list = [c.astype(jnp.float32) for c in self._extract(prediction)]
                 condition = cond_list[-1]
             else:
                 cond_list = None
-                condition = self.extractor(prediction).astype(jnp.float32)
+                condition = self._extract(prediction).astype(jnp.float32)
             h, c = self.lstm(condition, h, c)
-            prior_mean, prior_std = self.prior(jnp.concatenate([h, zprev], -1))
+            prior_mean, prior_std = self._prior_net(jnp.concatenate([h, zprev], -1))
             k1, k2 = jax.random.split(key)
             zt = normal_sample(k1, prior_mean, prior_std * kl_temperature)
             conds, hz = self._flow_conditions(h, zt, cond_list)
@@ -425,9 +441,9 @@ class RFN(nn.Module):
                 enc_in = jnp.concatenate([at, zxprev], axis=-1)
             else:
                 enc_in = jnp.concatenate([ht, zxprev, feat_t], axis=-1)
-            enc_mean, enc_std = self.encoder(enc_in)
+            enc_mean, enc_std = self._enc_net(enc_in)
             if cfg.res_q:
-                prior_mean, _ = self.prior(jnp.concatenate([ht, zxprev], -1))
+                prior_mean, _ = self._prior_net(jnp.concatenate([ht, zxprev], -1))
                 enc_mean = prior_mean + enc_mean
             k1, k2, k3, k4 = jax.random.split(key, 4)
             zxt = normal_sample(k1, enc_mean, enc_std)
@@ -469,12 +485,12 @@ class RFN(nn.Module):
                 enc_in = jnp.concatenate([at, zxprev], axis=-1)
             else:
                 enc_in = jnp.concatenate([ht, zxprev, feat_t], axis=-1)
-            enc_mean, enc_std = self.encoder(enc_in)
+            enc_mean, enc_std = self._enc_net(enc_in)
             if cfg.res_q:
-                prior_mean, prior_std = self.prior(jnp.concatenate([ht, zxprev], -1))
+                prior_mean, prior_std = self._prior_net(jnp.concatenate([ht, zxprev], -1))
                 enc_mean = prior_mean + enc_mean
             else:
-                prior_mean, prior_std = self.prior(jnp.concatenate([ht, zprev], -1))
+                prior_mean, prior_std = self._prior_net(jnp.concatenate([ht, zprev], -1))
             k1, k2 = jax.random.split(key)
             zt = normal_sample(k1, prior_mean, prior_std * kl_temperature)
             zxt = normal_sample(k2, enc_mean, enc_std)
@@ -626,13 +642,13 @@ class RFN(nn.Module):
         def step(carry, key):
             h, c, zprev, frame = carry
             if self._use_skip_list:
-                cond_list = [c.astype(jnp.float32) for c in self.extractor(frame)]
+                cond_list = [c.astype(jnp.float32) for c in self._extract(frame)]
                 condition = cond_list[-1]
             else:
                 cond_list = None
-                condition = self.extractor(frame).astype(jnp.float32)
+                condition = self._extract(frame).astype(jnp.float32)
             h, c = self.lstm(condition, h, c)
-            prior_mean, prior_std = self.prior(jnp.concatenate([h, zprev], -1))
+            prior_mean, prior_std = self._prior_net(jnp.concatenate([h, zprev], -1))
             k1, k2 = jax.random.split(key)
             zt = normal_sample(k1, prior_mean, prior_std)
             conds, hz = self._flow_conditions(h, zt, cond_list)

@@ -82,18 +82,25 @@ def deconv2d(features: int, name: str | None = None) -> nn.ConvTranspose:
 class NormLayer(nn.Module):
     """{batchnorm | instancenorm | none} selector (reference Utils/modules.py:28-41).
 
-    TPU note: 'batchnorm' here normalizes with current-batch statistics (the
-    reference's training-mode behavior) and keeps no running averages — these
-    layers are applied inside lax.scan bodies where mutable state is not
-    expressible, and the reference's eval-time running stats are a minor
-    behavioral detail not load-bearing for any metric.
+    TPU note on 'batchnorm': by default it normalizes with current-batch
+    statistics (the reference's training-mode behavior) and keeps no
+    running averages — these layers can sit inside lax.scan bodies where
+    mutable state is not expressible. Reference eval-mode running averages
+    (torch ``model.eval()``) are available opt-in via
+    ``track_running_stats=True``: stats live in the ``batch_stats``
+    collection, are EMA-updated whenever the collection is mutable (i.e.
+    on applies OUTSIDE scans — models refresh them via their
+    ``stats_refresh`` method, see training/trainer.py:refresh_stats), and
+    are used when called with ``use_running_average=True``.
     """
 
     norm_type: str
     use_scale_bias: bool = True
+    track_running_stats: bool = False
+    momentum: float = 0.1  # torch BatchNorm2d default: new = (1-m)*old + m*batch
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, use_running_average: bool = False):
         if self.norm_type == "none":
             return x
         if self.norm_type == "batchnorm":
@@ -102,8 +109,23 @@ class NormLayer(nn.Module):
             axes = (1, 2)  # per-sample, per-channel over space
         else:
             raise ValueError(f"unknown norm type: {self.norm_type}")
-        mean = jnp.mean(x, axis=axes, keepdims=True)
-        var = jnp.var(x, axis=axes, keepdims=True)
+        if self.norm_type == "batchnorm" and self.track_running_stats:
+            c = x.shape[-1]
+            r_mean = self.variable("batch_stats", "running_mean", jnp.zeros, (c,))
+            r_var = self.variable("batch_stats", "running_var", jnp.ones, (c,))
+            if use_running_average:
+                mean, var = r_mean.value, r_var.value
+            else:
+                mean = jnp.mean(x, axis=axes)
+                var = jnp.var(x, axis=axes)
+                if (self.is_mutable_collection("batch_stats")
+                        and not self.is_initializing()):
+                    m = self.momentum
+                    r_mean.value = (1 - m) * r_mean.value + m * mean
+                    r_var.value = (1 - m) * r_var.value + m * var
+        else:
+            mean = jnp.mean(x, axis=axes, keepdims=True)
+            var = jnp.var(x, axis=axes, keepdims=True)
         y = (x - mean) * jax.lax.rsqrt(var + 1e-5)
         if self.norm_type == "batchnorm" and self.use_scale_bias:
             c = x.shape[-1]
@@ -126,20 +148,24 @@ class SimpleParamNet(nn.Module):
     norm_type: str = "batchnorm"
     non_lin: str = "leakyrelu"
     scale: int = 2
+    track_running_stats: bool = False
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, use_running_average: bool = False):
+        track = self.track_running_stats
         for j, i in enumerate(self.structure):
             if i == "pool":
                 x = nn.max_pool(x, (2, 2), strides=(2, 2))
             elif i == "conv":
                 ch = int(self.scale * x.shape[-1])
                 x = conv2d(ch, 3, stride=2, name=f"conv_{j}")(x)
-                x = NormLayer(self.norm_type, name=f"norm_{j}")(x)
+                x = NormLayer(self.norm_type, track_running_stats=track,
+                              name=f"norm_{j}")(x, use_running_average)
                 x = act(x, self.non_lin)
             else:
                 x = conv2d(int(i), 3, name=f"conv_{j}")(x)
-                x = NormLayer(self.norm_type, name=f"norm_{j}")(x)
+                x = NormLayer(self.norm_type, track_running_stats=track,
+                              name=f"norm_{j}")(x, use_running_average)
                 x = act(x, self.non_lin)
         out = conv2d(2 * self.out_channels, 3, name="param_conv")(x)
         loc, log_scale = jnp.split(out, 2, axis=-1)

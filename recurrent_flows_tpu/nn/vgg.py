@@ -58,9 +58,10 @@ class VGGDownscaler(nn.Module):
     skip_con: bool = False
     tanh: bool = False
     dtype: object = None  # compute dtype for the convs (e.g. bf16)
+    track_running_stats: bool = False
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, use_running_average: bool = False):
         L = len(self.structures)
         outputs = []
         for l, structure in enumerate(self.structures):
@@ -78,15 +79,15 @@ class VGGDownscaler(nn.Module):
                 elif i == "conv":
                     ch = int(x.shape[-1] * self.scale)
                     x = conv2d(ch, 3, stride=2, use_bias=False, name=name, dtype=self.dtype)(x)
-                    x = NormLayer(self.norm_type, name=name + "_norm")(x)
+                    x = NormLayer(self.norm_type, track_running_stats=self.track_running_stats, name=name + "_norm")(x, use_running_average)
                     x = activation(x)
                 elif i == "squeeze":
                     x = squeeze2d(x)
-                    x = NormLayer(self.norm_type, name=name + "_norm")(x)
+                    x = NormLayer(self.norm_type, track_running_stats=self.track_running_stats, name=name + "_norm")(x, use_running_average)
                     x = activation(x)
                 else:
                     x = conv2d(int(i), 3, use_bias=False, name=name, dtype=self.dtype)(x)
-                    x = NormLayer(self.norm_type, name=name + "_norm")(x)
+                    x = NormLayer(self.norm_type, track_running_stats=self.track_running_stats, name=name + "_norm")(x, use_running_average)
                     x = activation(x)
             if self.skip_con:
                 outputs.append(x)
@@ -109,9 +110,11 @@ class VGGUpscaler(nn.Module):
     skips: bool = False
     tanh: bool = False
     dtype: object = None  # compute dtype for the convs (e.g. bf16)
+    track_running_stats: bool = False
 
     @nn.compact
-    def __call__(self, x, skip_list: Optional[Sequence] = None):
+    def __call__(self, x, skip_list: Optional[Sequence] = None,
+                 use_running_average: bool = False):
         L = len(self.structures)
         outputs = []
         # downscaler skips come high-res first; upscaler runs low-res first
@@ -127,11 +130,11 @@ class VGGUpscaler(nn.Module):
                 elif op == "deconv":
                     ch = x.shape[-1] // self.scale
                     x = deconv2d(ch, name=f"b{l}_up")(x)
-                    x = NormLayer(self.norm_type, name=f"b{l}_up_norm")(x)
+                    x = NormLayer(self.norm_type, track_running_stats=self.track_running_stats, name=f"b{l}_up_norm")(x, use_running_average)
                     x = act(x, self.non_lin)
                 elif op == "squeeze":
                     x = unsqueeze2d(x)
-                    x = NormLayer(self.norm_type, name=f"b{l}_up_norm")(x)
+                    x = NormLayer(self.norm_type, track_running_stats=self.track_running_stats, name=f"b{l}_up_norm")(x, use_running_average)
                     x = act(x, self.non_lin)
             if self.skips:
                 x = jnp.concatenate([x, rev_skips[l]], axis=-1)
@@ -142,7 +145,7 @@ class VGGUpscaler(nn.Module):
                 else:
                     activation = lambda v: act(v, self.non_lin)
                 x = conv2d(ch, 3, use_bias=False, name=f"b{l}_{count}", dtype=self.dtype)(x)
-                x = NormLayer(self.norm_type, name=f"b{l}_{count}_norm")(x)
+                x = NormLayer(self.norm_type, track_running_stats=self.track_running_stats, name=f"b{l}_{count}_norm")(x, use_running_average)
                 x = activation(x)
             outputs.append(x)
         return outputs[::-1]

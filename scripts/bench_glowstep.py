@@ -36,7 +36,7 @@ SCALES = [
     (4, 32, 128),
     (2, 64, 256),
 ]
-BT = 270
+BT = int(__import__("os").environ.get("GS_BT", "270"))
 K = 10
 
 
