@@ -81,9 +81,10 @@ class GlowConfig:
     clamp_type: str = "realnvp"  # {glow, realnvp, softclamp, none}
     split2d_act: str = "softplus"  # {softplus, exp}
     # coupling-net conv implementation: 'conv' (XLA convolution), 'im2col'
-    # (flattened matmul), 'fused' (Pallas whole-GlowStep kernel where
-    # supported), 'auto' (on TPU: fused kernel on the deep <=4x4 scales
-    # where it measures ~2x conv, XLA conv otherwise; off-TPU: conv)
+    # (flattened matmul), 'fused' (Pallas whole-GlowStep kernel — wins ~2x
+    # on deep scales at large batched rows, loses end-to-end in the scanned
+    # train/sample paths; see flows/glow.py:_fused_eligible for the
+    # measurements), 'auto' (currently == conv, the measured best)
     coupling_impl: str = "auto"
 
 

@@ -45,20 +45,22 @@ class GlowStep(nn.Module):
     cfg: GlowConfig
     spatial_shape: tuple = ()
 
-    def _fused_eligible(self, x, ddi: bool) -> bool:
+    def _fused_eligible(self, x, ddi: bool, reverse: bool) -> bool:
         cfg = self.cfg
         impl = getattr(cfg, "coupling_impl", "conv")
         if impl == "fused":
             max_hw = 256  # forced: any scale the kernel supports
-        elif impl == "auto":
-            # measured on v5e (scripts/bench_glowstep.py, grad step):
-            # fused ~2x conv at 4x4/2x2 (the MXU-starved deep scales),
-            # loses at 8x8+. interpret-mode pallas is never a perf path,
-            # so auto only engages on real TPU.
-            if jax.default_backend() != "tpu":
-                return False
-            max_hw = 16
         else:
+            # 'auto' resolves to XLA conv in ALL cases — measured end-to-end
+            # on v5e, thesis config (scripts/bench_prodstep.py):
+            #   train loss+grad: conv 112.0ms | fused@4x4/2x2 122.5ms
+            #     (the remat'd scan reruns the kernel's forward, and its
+            #      jnp-structured VJP loses to XLA's conv bwd)
+            #   sampling rollout: conv 1.94ms | fused@deep 3.27ms
+            #     (2 pallas dispatches x 20 deep steps dominate at B=30)
+            # The kernel's ~2x deep-scale win is real only at large batched
+            # rows (BT>=270 microbench, docs/PERF.md) — force it with
+            # coupling_impl='fused' for such workloads.
             return False
         return (
             cfg.flow_norm == "actnorm"
@@ -135,7 +137,7 @@ class GlowStep(nn.Module):
     def __call__(self, x, condition, logdet=None, reverse: bool = False,
                  training: bool = True, ddi: bool = False):
         cfg = self.cfg
-        if self._fused_eligible(x, ddi):
+        if self._fused_eligible(x, ddi, reverse):
             return self._fused(x, condition, logdet, reverse)
         if cfg.flow_norm == "batchnorm":
             norm = BatchNormFlow(

@@ -49,6 +49,12 @@ class RFN(nn.Module):
     # normalize with running-average batch stats everywhere. Only effective
     # when cfg.track_running_stats is on (evaluation_metrics/error_metrics.py:70).
     eval_norm: bool = False
+    # hoist the flow's log_prob out of the time scan and run it once over
+    # (T-1)*B rows. Measured SLOWER on v5e for the thesis config (142 vs
+    # 112 ms loss+grad — the flow is latency- not compute-bound, and the
+    # scanned form wins); kept as an opt-in structure for future configs
+    # with larger T or deeper flows. scripts/bench_prodstep.py measures it.
+    batch_flow: bool = False
 
     # ------------------------------------------------------------------
     def setup(self):
@@ -233,6 +239,16 @@ class RFN(nn.Module):
 
         Returns dict with kl_free_bits, kl, nll (batch means) — the trainer
         combines them as nll + beta*kl_free_bits (reference trainer.py:206).
+
+        Two structures (identical math AND identical RNG consumption — per
+        step t, k1 -> prior eps, k2 -> encoder eps, k3 -> dequant uniform;
+        tests/rfn_parity_utils.our_loss_noise replicates it):
+        - default: flow.log_prob inside the rematerialized time scan
+          (measured fastest on v5e for the thesis config);
+        - ``batch_flow=True``: the scan only produces per-step flow
+          conditions and log_prob runs ONCE over all (T-1)*B rows
+          (MXU-sized batches at the deep scales; opt-in, see the
+          ``batch_flow`` attribute note).
         """
         cfg = self.cfg
         assert x.ndim == 5, "x must be [B, T, H, W, C]"
@@ -272,17 +288,46 @@ class RFN(nn.Module):
             conds, hz = self._flow_conditions(
                 ht, zxt, sk_prev if feats is not None else None
             )
-            _, nll = self.flow.log_prob(x_t, conds, hz, k3, logdet=logdet)
             kl = normal_kl(enc_mean, enc_std, prior_mean, prior_std)
-            out = dict(kl=kl, nll=nll, enc_mean=enc_mean, enc_std=enc_std,
+            out = dict(kl=kl, enc_mean=enc_mean, enc_std=enc_std,
                        zx_prev=zxprev)
+            if self.batch_flow:
+                out.update(conds=tuple(conds), hz=hz)
+            else:
+                _, nll = self.flow.log_prob(x_t, conds, hz, k3, logdet=logdet)
+                out["nll"] = nll
             return (zt, zxt), out
 
         step_fn = jax.checkpoint(step) if self.remat else step
         xs = (x_tm[1:], hs, as_, f_last[1:], skips_prev, keys)
         _, outs = jax.lax.scan(step_fn, (z0, z0x), xs)
 
-        nll_loss = jnp.sum(outs["nll"], axis=0)  # [B]
+        if self.batch_flow:
+            # time-batched flow: [(T-1)*B, ...] in one device program
+            flat = lambda a: a.reshape((-1,) + a.shape[2:])
+            n_bins = 2.0 ** cfg.glow.n_bits
+            k3s = jax.vmap(lambda k: jax.random.split(k, 3)[2])(keys)
+            noise = jax.vmap(
+                lambda k: jax.random.uniform(
+                    k, x_tm[0].shape, x.dtype, 0.0, 1.0 / n_bins
+                )
+            )(k3s)  # same per-step draws as the in-scan k3 path
+
+            def flow_nll(x_noised_flat, conds_flat, hz_flat):
+                _, nll = self.flow.log_prob(
+                    x_noised_flat, conds_flat, hz_flat, rng=None,
+                    logdet=logdet, dequantize=False,
+                )
+                return nll
+
+            nll_flat = flow_nll(
+                flat(x_tm[1:] + noise),
+                [flat(c) for c in outs.pop("conds")],
+                flat(outs.pop("hz")),
+            )
+            nll_loss = jnp.sum(nll_flat.reshape(t - 1, b), axis=0)  # [B]
+        else:
+            nll_loss = jnp.sum(outs["nll"], axis=0)  # [B]
         if cfg.D + 1 == 1:
             kl_loss = jnp.sum(outs["kl"], axis=0)  # [B,hu,wu,z]
         else:

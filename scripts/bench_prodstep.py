@@ -27,12 +27,12 @@ from recurrent_flows_tpu.models import RFN
 from recurrent_flows_tpu.utils.compilation_cache import enable as _enable_cache
 
 
-def time_step(impl: str, runs: int) -> float:
+def time_step(impl: str, runs: int, batch_flow: bool = False) -> float:
     cfg, tcfg = rfn_mnist_production()
     cfg = dataclasses.replace(
         cfg, glow=dataclasses.replace(cfg.glow, coupling_impl=impl)
     )
-    model = RFN(cfg)
+    model = RFN(cfg, batch_flow=batch_flow)
     b, t = tcfg.batch_size, tcfg.n_frames
     x = jax.random.uniform(
         jax.random.key(0), (b, t, cfg.image_size, cfg.image_size, 1)
@@ -60,19 +60,59 @@ def time_step(impl: str, runs: int) -> float:
     return (time.perf_counter() - t0) / runs
 
 
+def time_sample(impl: str, runs: int) -> float:
+    """Production-config predict rollout (warmup 5, predict 10) — the
+    sampling path where coupling_impl='auto' engages the fused kernel on
+    the deep scales (reverse direction, no grad/remat)."""
+    cfg, tcfg = rfn_mnist_production()
+    cfg = dataclasses.replace(
+        cfg, glow=dataclasses.replace(cfg.glow, coupling_impl=impl)
+    )
+    model = RFN(cfg)
+    b = tcfg.batch_size
+    x = jax.random.uniform(
+        jax.random.key(0), (b, 5, cfg.image_size, cfg.image_size, 1)
+    ) - 0.5
+    variables = model.init(jax.random.key(1), x[:2, :2], jax.random.key(2))
+
+    @jax.jit
+    def rollout(v, x, key):
+        _, preds = model.apply(v, x, 10, 5, key, method="predict")
+        return preds
+
+    out = rollout(variables, x, jax.random.key(3))
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for i in range(runs):
+        out = rollout(variables, x, jax.random.key(4 + i))
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / runs
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--impls", default="conv,auto")
     ap.add_argument("--runs", type=int, default=20)
+    ap.add_argument("--batch_flow", action="store_true")
+    ap.add_argument("--mode", default="loss", choices=["loss", "sample"])
     args = ap.parse_args()
     _enable_cache()
     for impl in args.impls.split(","):
-        dt = time_step(impl, args.runs)
-        print(json.dumps({
-            "impl": impl,
-            "loss_grad_ms": round(dt * 1000, 2),
-            "steps_per_s": round(1.0 / dt, 2),
-        }), flush=True)
+        if args.mode == "sample":
+            dt = time_sample(impl, args.runs)
+            print(json.dumps({
+                "impl": impl, "mode": "sample",
+                "rollout_ms": round(dt * 1000, 2),
+                "pred_frames_per_s": round(30 * 10 / dt, 1),
+            }), flush=True)
+        else:
+            dt = time_step(impl, args.runs, batch_flow=args.batch_flow)
+            print(json.dumps({
+                "impl": impl,
+                "batch_flow": args.batch_flow,
+                "loss_grad_ms": round(dt * 1000, 2),
+                "steps_per_s": round(1.0 / dt, 2),
+            }), flush=True)
 
 
 if __name__ == "__main__":

@@ -126,3 +126,21 @@ def test_rfn_remat_matches():
     out1 = model.apply(v, x, jax.random.key(3), method=RFN.loss)
     out2 = m2.apply(v, x, jax.random.key(3), method=RFN.loss)
     np.testing.assert_allclose(float(out1["nll"]), float(out2["nll"]), rtol=1e-5)
+
+
+@pytest.mark.fast
+def test_batch_flow_loss_matches_scanned_flow():
+    """batch_flow=True (time-batched flow) must reproduce the default
+    in-scan flow loss bit-for-bit: same math, same RNG consumption."""
+    cfg = tiny_cfg()
+    x = jax.random.uniform(jax.random.key(0), (B, T, IMG, IMG, 1)) - 0.5
+    m0 = RFN(cfg, remat=False)
+    m1 = RFN(cfg, remat=False, batch_flow=True)
+    v = m0.init(jax.random.key(1), x, jax.random.key(2))
+    v = {"params": jax.tree.map(lambda a: a + 0.01, v["params"]),
+         "consts": v.get("consts", {})}
+    o0 = m0.apply(v, x, jax.random.key(3), method="loss")
+    o1 = m1.apply(v, x, jax.random.key(3), method="loss")
+    for k in ("nll", "kl", "kl_free_bits"):
+        np.testing.assert_allclose(np.asarray(o1[k]), np.asarray(o0[k]),
+                                   rtol=1e-5, atol=1e-5)
