@@ -174,6 +174,8 @@ class SRNNConfig:
     D: int = 0  # num_shots
     overshot_w: float = 1.0
     norm_type: str = "batchnorm"
+    # torch-style running averages (see RFNConfig.track_running_stats)
+    track_running_stats: bool = False
 
 
 @dataclass(frozen=True)
@@ -188,6 +190,8 @@ class VRNNConfig:
     n_bits: int = 8
     preprocess_range: str = "1.0"
     norm_type: str = "batchnorm"
+    # torch-style running averages (see RFNConfig.track_running_stats)
+    track_running_stats: bool = False
 
 
 @dataclass(frozen=True)
@@ -203,6 +207,8 @@ class SVGConfig:
     loss_type: str = "mse"
     variance: float = 1.0
     norm_type: str = "batchnorm"
+    # torch-style running averages (see RFNConfig.track_running_stats)
+    track_running_stats: bool = False
 
 
 # --------------------------------------------------------------------------

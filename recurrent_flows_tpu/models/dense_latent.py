@@ -28,12 +28,15 @@ class PhiX(nn.Module):
 
     norm_type: str = "batchnorm"
     channels: int = 256
+    track_running_stats: bool = False
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, use_running_average: bool = False):
         for j, (ch, stride) in enumerate([(64, 2), (128, 2), (256, 2), (self.channels, 1)]):
             x = conv2d(ch, 3, stride=stride, name=f"conv{j}")(x)
-            x = NormLayer(self.norm_type, name=f"norm{j}")(x)
+            x = NormLayer(self.norm_type,
+                          track_running_stats=self.track_running_stats,
+                          name=f"norm{j}")(x, use_running_average)
             x = jax.nn.relu(x)
         return x
 
@@ -45,15 +48,18 @@ class PhiZ(nn.Module):
     w: int
     channels: int = 128
     norm_type: str = "batchnorm"
+    track_running_stats: bool = False
 
     @nn.compact
-    def __call__(self, z):
+    def __call__(self, z, use_running_average: bool = False):
         d = self.channels * self.h * self.w
         z = jax.nn.relu(nn.Dense(d, name="fc0")(z))
         z = jax.nn.relu(nn.Dense(d, name="fc1")(z))
         z = z.reshape(z.shape[0], self.h, self.w, self.channels)
         z = conv2d(self.channels, 3, name="conv")(z)
-        z = NormLayer(self.norm_type, name="norm")(z)
+        z = NormLayer(self.norm_type,
+                      track_running_stats=self.track_running_stats,
+                      name="norm")(z, use_running_average)
         return jax.nn.relu(z)
 
 
@@ -66,11 +72,14 @@ class ConvMLPGaussian(nn.Module):
 
     z_dim: int
     norm_type: str = "batchnorm"
+    track_running_stats: bool = False
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, use_running_average: bool = False):
         h = conv2d(256, 3, stride=2, name="trunk_conv")(x)
-        h = NormLayer(self.norm_type, name="trunk_norm")(h)
+        h = NormLayer(self.norm_type,
+                      track_running_stats=self.track_running_stats,
+                      name="trunk_norm")(h, use_running_average)
         h = jax.nn.relu(h)
         h = h.reshape(h.shape[0], -1)
 
@@ -88,16 +97,19 @@ class FrameDecoder(nn.Module):
     """[B,h,w,·] -> [B,H,W,32] deconv stack (reference SRNN.py:130-146)."""
 
     norm_type: str = "batchnorm"
+    track_running_stats: bool = False
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, use_running_average: bool = False):
         spec = [("deconv", 512), ("conv", 256), ("deconv", 64), ("conv", 64), ("deconv", 32)]
         for j, (kind, ch) in enumerate(spec):
             if kind == "deconv":
                 x = deconv2d(ch, name=f"deconv{j}")(x)
             else:
                 x = conv2d(ch, 3, name=f"conv{j}")(x)
-            x = NormLayer(self.norm_type, name=f"norm{j}")(x)
+            x = NormLayer(self.norm_type,
+                          track_running_stats=self.track_running_stats,
+                          name=f"norm{j}")(x, use_running_average)
             x = jax.nn.relu(x)
         return x
 

@@ -26,16 +26,21 @@ from .dense_latent import ConvMLPGaussian, FrameDecoder, LikelihoodHead, PhiX, P
 class SRNN(nn.Module):
     cfg: SRNNConfig
     remat: bool = True
+    # torch model.eval() equivalent (instance-global): normalize with
+    # running-average batch stats; requires cfg.track_running_stats.
+    eval_norm: bool = False
 
     def setup(self):
         cfg = self.cfg
         h = cfg.image_size // 8
         self._hw = h
-        self.phi_x = PhiX(cfg.norm_type, name="phi_x")
-        self.phi_z = PhiZ(h, h, 128, cfg.norm_type, name="phi_z")
-        self.enc = ConvMLPGaussian(cfg.z_dim, cfg.norm_type, name="enc")
-        self.prior = ConvMLPGaussian(cfg.z_dim, cfg.norm_type, name="prior")
-        self.dec = FrameDecoder(cfg.norm_type, name="dec")
+        self._ura = bool(self.eval_norm and cfg.track_running_stats)
+        trs = cfg.track_running_stats
+        self.phi_x = PhiX(cfg.norm_type, track_running_stats=trs, name="phi_x")
+        self.phi_z = PhiZ(h, h, 128, cfg.norm_type, track_running_stats=trs, name="phi_z")
+        self.enc = ConvMLPGaussian(cfg.z_dim, cfg.norm_type, track_running_stats=trs, name="enc")
+        self.prior = ConvMLPGaussian(cfg.z_dim, cfg.norm_type, track_running_stats=trs, name="prior")
+        self.dec = FrameDecoder(cfg.norm_type, track_running_stats=trs, name="dec")
         self.head = LikelihoodHead(
             cfg.x_channels,
             loss_type=cfg.loss_type,
@@ -56,6 +61,27 @@ class SRNN(nn.Module):
         self.z_0 = self.param("z_0", z, (1, cfg.z_dim))
         self.z_0x = self.param("z_0x", z, (1, cfg.z_dim))
 
+    def stats_refresh(self, x, rng):
+        """Out-of-scan forward refreshing batchnorm running stats (apply
+        with mutable=['batch_stats']; Trainer.refresh_stats drives this).
+        Requires cfg.track_running_stats."""
+        return self.__call__(x, rng)
+
+    def _phi_x_n(self, x):
+        return self.phi_x(x, self._ura)
+
+    def _phi_z_n(self, z):
+        return self.phi_z(z, self._ura)
+
+    def _enc_n(self, x):
+        return self.enc(x, self._ura)
+
+    def _prior_n(self, x):
+        return self.prior(x, self._ura)
+
+    def _dec_n(self, x):
+        return self.dec(x, self._ura)
+
     def get_inits(self, batch: int):
         rep = lambda p: jnp.broadcast_to(p, (batch,) + p.shape[1:])
         return (rep(self.h_0), rep(self.c_0), rep(self.a_0), rep(self.ca_0),
@@ -63,7 +89,7 @@ class SRNN(nn.Module):
 
     def _features(self, x):
         b, t = x.shape[:2]
-        flat = self.phi_x(x.reshape((b * t,) + x.shape[2:]))
+        flat = self._phi_x_n(x.reshape((b * t,) + x.shape[2:]))
         return flat.reshape((b, t) + flat.shape[1:]).swapaxes(0, 1)
 
     # ------------------------------------------------------------------
@@ -76,21 +102,21 @@ class SRNN(nn.Module):
         ht, _ = self.lstm_h(feats[0], h0, c0)
         if cfg.enable_smoothing:
             at, _ = self.lstm_a(jnp.concatenate([ht, feats[1]], -1), a0, ca0)
-            enc_in = jnp.concatenate([at, self.phi_z(z0x)], -1)
+            enc_in = jnp.concatenate([at, self._phi_z_n(z0x)], -1)
         else:
-            enc_in = jnp.concatenate([ht, self.phi_z(z0x), feats[1]], -1)
-        enc_mean, enc_std = self.enc(enc_in)
-        prior_mean, prior_std = self.prior(
-            jnp.concatenate([ht, self.phi_z(z0)], -1)
+            enc_in = jnp.concatenate([ht, self._phi_z_n(z0x), feats[1]], -1)
+        enc_mean, enc_std = self._enc_n(enc_in)
+        prior_mean, prior_std = self._prior_n(
+            jnp.concatenate([ht, self._phi_z_n(z0)], -1)
         )
-        dec = self.dec(jnp.concatenate([ht, self.phi_z(enc_mean)], -1))
+        dec = self._dec_n(jnp.concatenate([ht, self._phi_z_n(enc_mean)], -1))
         nll = self.head.nll(dec, x[:, 1], rng)
         _ = self.head.decode(dec, rng)
         return nll
 
     # ------------------------------------------------------------------
     def _prior_params(self, ht, z):
-        return self.prior(jnp.concatenate([ht, self.phi_z(z)], -1))
+        return self._prior_n(jnp.concatenate([ht, self._phi_z_n(z)], -1))
 
     def loss(self, x, rng):
         cfg = self.cfg
@@ -110,10 +136,10 @@ class SRNN(nn.Module):
             zprev, zxprev = carry
             x_t, ht, at, feat_t, key = xs
             if cfg.enable_smoothing:
-                enc_in = jnp.concatenate([at, self.phi_z(zxprev)], -1)
+                enc_in = jnp.concatenate([at, self._phi_z_n(zxprev)], -1)
             else:
-                enc_in = jnp.concatenate([ht, self.phi_z(zxprev), feat_t], -1)
-            enc_mean, enc_std = self.enc(enc_in)
+                enc_in = jnp.concatenate([ht, self._phi_z_n(zxprev), feat_t], -1)
+            enc_mean, enc_std = self._enc_n(enc_in)
             if cfg.res_q:
                 prior_mean, prior_std = self._prior_params(ht, zxprev)
                 enc_mean = prior_mean + enc_mean
@@ -122,7 +148,7 @@ class SRNN(nn.Module):
             k1, k2, k3 = jax.random.split(key, 3)
             z_tx = normal_sample(k1, enc_mean, enc_std)
             z_t = normal_sample(k2, prior_mean, prior_std)
-            dec = self.dec(jnp.concatenate([ht, self.phi_z(z_tx)], -1))
+            dec = self._dec_n(jnp.concatenate([ht, self._phi_z_n(z_tx)], -1))
             nll = self.head.nll(dec, x_t, k3)
             kl = normal_kl(enc_mean, enc_std, prior_mean, prior_std)
             out = dict(kl=kl, nll=nll, enc_mean=enc_mean, enc_std=enc_std,
@@ -159,9 +185,9 @@ class SRNN(nn.Module):
                 break
             ht_d = hs[d:]
             zp = zprev[:n]
-            pz = self.phi_z(zp.reshape(-1, zp.shape[-1]))
+            pz = self._phi_z_n(zp.reshape(-1, zp.shape[-1]))
             hflat = ht_d.reshape((-1,) + ht_d.shape[2:])
-            pm, ps = self.prior(jnp.concatenate([hflat, pz], -1))
+            pm, ps = self._prior_n(jnp.concatenate([hflat, pz], -1))
             pm = pm.reshape(zp.shape)
             ps = ps.reshape(zp.shape)
             key = jax.random.fold_in(rng, 2000 + d)
@@ -196,12 +222,12 @@ class SRNN(nn.Module):
 
         def step(carry, key):
             h, c, zprev, pred = carry
-            ut = self.phi_x(pred)
+            ut = self._phi_x_n(pred)
             h, c = self.lstm_h(ut, h, c)
             pm, ps = self._prior_params(h, zprev)
             k1, k2 = jax.random.split(key)
             z_t = normal_sample(k1, pm, ps)
-            dec = self.dec(jnp.concatenate([h, self.phi_z(z_t)], -1))
+            dec = self._dec_n(jnp.concatenate([h, self._phi_z_n(z_t)], -1))
             new_pred = self.head.decode(dec, k2)
             return (h, c, z_t, new_pred), new_pred
 
@@ -227,16 +253,16 @@ class SRNN(nn.Module):
         def step(zxprev, xs):
             ht, at, feat_t, key = xs
             if cfg.enable_smoothing:
-                enc_in = jnp.concatenate([at, self.phi_z(zxprev)], -1)
+                enc_in = jnp.concatenate([at, self._phi_z_n(zxprev)], -1)
             else:
-                enc_in = jnp.concatenate([ht, self.phi_z(zxprev), feat_t], -1)
-            enc_mean, enc_std = self.enc(enc_in)
+                enc_in = jnp.concatenate([ht, self._phi_z_n(zxprev), feat_t], -1)
+            enc_mean, enc_std = self._enc_n(enc_in)
             if cfg.res_q:
                 pm, _ = self._prior_params(ht, zxprev)
                 enc_mean = pm + enc_mean
             k1, k2 = jax.random.split(key)
             z_tx = normal_sample(k1, enc_mean, enc_std)
-            dec = self.dec(jnp.concatenate([ht, self.phi_z(z_tx)], -1))
+            dec = self._dec_n(jnp.concatenate([ht, self._phi_z_n(z_tx)], -1))
             return z_tx, self.head.decode(dec, k2)
 
         _, recons = jax.lax.scan(step, z0x, (hs, as_, feats[1:], keys))
@@ -249,12 +275,12 @@ class SRNN(nn.Module):
 
         def step(carry, key):
             h, c, zprev, frame = carry
-            ut = self.phi_x(frame)
+            ut = self._phi_x_n(frame)
             h, c = self.lstm_h(ut, h, c)
             pm, ps = self._prior_params(h, zprev)
             k1, k2 = jax.random.split(key)
             z_t = normal_sample(k1, pm, ps)
-            dec = self.dec(jnp.concatenate([h, self.phi_z(z_t)], -1))
+            dec = self._dec_n(jnp.concatenate([h, self._phi_z_n(z_t)], -1))
             s = self.head.decode(dec, k2)
             return (h, c, z_t, s), s
 
@@ -290,10 +316,10 @@ class SRNN(nn.Module):
             zprev, zxprev = carry
             x_t, ht, at, feat_t, key = xs
             if cfg.enable_smoothing:
-                enc_in = jnp.concatenate([at, self.phi_z(zxprev)], -1)
+                enc_in = jnp.concatenate([at, self._phi_z_n(zxprev)], -1)
             else:
-                enc_in = jnp.concatenate([ht, self.phi_z(zxprev), feat_t], -1)
-            enc_mean, enc_std = self.enc(enc_in)
+                enc_in = jnp.concatenate([ht, self._phi_z_n(zxprev), feat_t], -1)
+            enc_mean, enc_std = self._enc_n(enc_in)
             if cfg.res_q:
                 pm, ps = self._prior_params(ht, zxprev)
                 enc_mean = pm + enc_mean
@@ -303,7 +329,7 @@ class SRNN(nn.Module):
             def one_sample(k):
                 k1, k2 = jax.random.split(k)
                 z_tx = normal_sample(k1, enc_mean, enc_std)
-                dec = self.dec(jnp.concatenate([ht, self.phi_z(z_tx)], -1))
+                dec = self._dec_n(jnp.concatenate([ht, self._phi_z_n(z_tx)], -1))
                 lpx = -self.head.nll(dec, x_t, k2)
                 lpz = jnp.sum(normal_log_prob(z_tx, pm, ps), -1)
                 lqzx = jnp.sum(normal_log_prob(z_tx, enc_mean, enc_std), -1)

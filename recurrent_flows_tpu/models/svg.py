@@ -28,9 +28,10 @@ _CHANNELS = (64, 128, 256, 512)
 _LAYERS = (2, 2, 3, 3)
 
 
-def _vgg_layer(x, ch, norm_type, name_prefix, module):
+def _vgg_layer(x, ch, norm_type, name_prefix, module, track=False, ura=False):
     x = conv2d(ch, 3, name=f"{name_prefix}_conv")(x)
-    x = NormLayer(norm_type, name=f"{name_prefix}_norm")(x)
+    x = NormLayer(norm_type, track_running_stats=track,
+                  name=f"{name_prefix}_norm")(x, ura)
     return jax.nn.leaky_relu(x, 0.2)
 
 
@@ -40,20 +41,23 @@ class SVGEncoder(nn.Module):
     dim: int
     image_size: int
     norm_type: str = "batchnorm"
+    track_running_stats: bool = False
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, use_running_average: bool = False):
+        trs, ura = self.track_running_stats, use_running_average
         n_stages = max(1, (self.image_size.bit_length() - 1) - 2)  # 64 -> 4
         skips = []
         for s in range(n_stages):
             ch = _CHANNELS[min(s, len(_CHANNELS) - 1)]
             for l in range(_LAYERS[min(s, len(_LAYERS) - 1)]):
-                x = _vgg_layer(x, ch, self.norm_type, f"c{s}_{l}", self)
+                x = _vgg_layer(x, ch, self.norm_type, f"c{s}_{l}", self, trs, ura)
             skips.append(x)
             x = nn.max_pool(x, (2, 2), strides=(2, 2))
         k = x.shape[1]  # remaining spatial extent (4 for 64x64)
         x = nn.Conv(self.dim, (k, k), padding="VALID", name="bottleneck")(x)
-        x = NormLayer(self.norm_type, name="bottleneck_norm")(x)
+        x = NormLayer(self.norm_type, track_running_stats=trs,
+                      name="bottleneck_norm")(x, ura)
         x = jnp.tanh(x)
         return x.reshape(x.shape[0], self.dim), skips
 
@@ -65,14 +69,17 @@ class SVGDecoder(nn.Module):
     image_size: int
     channels: int = 1
     norm_type: str = "batchnorm"
+    track_running_stats: bool = False
 
     @nn.compact
-    def __call__(self, vec, skips):
+    def __call__(self, vec, skips, use_running_average: bool = False):
+        trs, ura = self.track_running_stats, use_running_average
         n_stages = max(1, (self.image_size.bit_length() - 1) - 2)
         k = self.image_size // (2 ** n_stages)
         x = vec.reshape(vec.shape[0], 1, 1, self.dim)
         x = nn.ConvTranspose(512, (k, k), padding="VALID", name="up0")(x)
-        x = NormLayer(self.norm_type, name="up0_norm")(x)
+        x = NormLayer(self.norm_type, track_running_stats=trs,
+                      name="up0_norm")(x, ura)
         x = jax.nn.leaky_relu(x, 0.2)
         for s in reversed(range(n_stages)):
             x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)  # nearest 2x
@@ -81,7 +88,7 @@ class SVGDecoder(nn.Module):
             n_l = _LAYERS[min(s, len(_LAYERS) - 1)]
             for l in range(n_l):
                 out_ch = ch if l < n_l - 1 else _CHANNELS[max(s - 1, 0)] if s > 0 else 64
-                x = _vgg_layer(x, out_ch, self.norm_type, f"d{s}_{l}", self)
+                x = _vgg_layer(x, out_ch, self.norm_type, f"d{s}_{l}", self, trs, ura)
         x = conv2d(self.channels, 3, name="out_conv")(x)
         return jax.nn.sigmoid(x)
 
@@ -89,13 +96,19 @@ class SVGDecoder(nn.Module):
 class SVG(nn.Module):
     cfg: SVGConfig
     remat: bool = True
+    # torch model.eval() equivalent (instance-global): normalize with
+    # running-average batch stats; requires cfg.track_running_stats.
+    eval_norm: bool = False
 
     def setup(self):
         cfg = self.cfg
+        self._ura = bool(self.eval_norm and cfg.track_running_stats)
+        trs = cfg.track_running_stats
         self.encoder = SVGEncoder(cfg.c_features, cfg.image_size, cfg.norm_type,
-                                  name="encoder")
+                                  track_running_stats=trs, name="encoder")
         self.decoder = SVGDecoder(cfg.c_features, cfg.image_size, cfg.x_channels,
-                                  cfg.norm_type, name="decoder")
+                                  cfg.norm_type, track_running_stats=trs,
+                                  name="decoder")
         self.frame_predictor = SVGLSTM(
             cfg.c_features, cfg.h_dim, cfg.predictor_rnn_layers, name="frame_predictor"
         )
@@ -108,7 +121,7 @@ class SVG(nn.Module):
 
     def _encode_all(self, x):
         b, t = x.shape[:2]
-        h, skips = self.encoder(x.reshape((b * t,) + x.shape[2:]))
+        h, skips = self._enc_n(x.reshape((b * t,) + x.shape[2:]))
 
         def tm(a):
             return a.reshape((b, t) + a.shape[1:]).swapaxes(0, 1)
@@ -136,6 +149,17 @@ class SVG(nn.Module):
         raise ValueError(f"undefined loss {cfg.loss_type}")
 
     # ------------------------------------------------------------------
+    def _enc_n(self, x):
+        return self.encoder(x, self._ura)
+
+    def _dec_n(self, vec, skips):
+        return self.decoder(vec, skips, self._ura)
+
+    def stats_refresh(self, x, rng):
+        """Out-of-scan forward refreshing batchnorm running stats (apply
+        with mutable=['batch_stats']). Requires cfg.track_running_stats."""
+        return self.__call__(x, rng)
+
     def __call__(self, x, rng):
         """Init-only: one unscanned step."""
         b = x.shape[0]
@@ -144,7 +168,7 @@ class SVG(nn.Module):
         z_t, mu_q, std_q, po = self.posterior(hs[1], po, rng)
         _, mu_p, std_p, pr = self.prior(hs[0], pr, rng)
         h_pred, fp = self.frame_predictor(jnp.concatenate([hs[0], z_t], -1), fp)
-        x_pred = self.decoder(h_pred, [s[0] for s in skips])
+        x_pred = self._dec_n(h_pred, [s[0] for s in skips])
         return self._nll(x_pred, x[:, 1])
 
     def loss(self, x, rng):
@@ -160,7 +184,7 @@ class SVG(nn.Module):
             z_t, mu_q, std_q, po = self.posterior(h_target, po, key)
             _, mu_p, std_p, pr = self.prior(h, pr, key)
             h_pred, fp = self.frame_predictor(jnp.concatenate([h, z_t], -1), fp)
-            x_pred = self.decoder(h_pred, skip)
+            x_pred = self._dec_n(h_pred, skip)
             nll = self._nll(x_pred, x_t)
             kl = normal_kl(mu_q, std_q, mu_p, std_p)
             return (fp, po, pr), dict(nll=nll, kl=kl)
@@ -199,10 +223,10 @@ class SVG(nn.Module):
 
         def step(carry, key):
             fp, po, pr, x_in = carry
-            h, skip = self.encoder(x_in)
+            h, skip = self._enc_n(x_in)
             z_t, _, _, pr = self.prior(h, pr, key)
             h_pred, fp = self.frame_predictor(jnp.concatenate([h, z_t], -1), fp)
-            x_pred = self.decoder(h_pred, skip)
+            x_pred = self._dec_n(h_pred, skip)
             return (fp, po, pr, x_pred), x_pred
 
         _, preds = jax.lax.scan(
@@ -222,7 +246,7 @@ class SVG(nn.Module):
             h, h_target, skip, key = xs
             z_t, _, _, po = self.posterior(h_target, po, key)
             h_pred, fp = self.frame_predictor(jnp.concatenate([h, z_t], -1), fp)
-            x_pred = self.decoder(h_pred, skip)
+            x_pred = self._dec_n(h_pred, skip)
             return (fp, po, pr), x_pred
 
         _, recons = jax.lax.scan(
@@ -237,10 +261,10 @@ class SVG(nn.Module):
 
         def step(carry, key):
             fp, po, pr, x_in = carry
-            h, skip = self.encoder(x_in)
+            h, skip = self._enc_n(x_in)
             z_t, _, _, pr = self.prior(h, pr, key)
             h_pred, fp = self.frame_predictor(jnp.concatenate([h, z_t], -1), fp)
-            x_pred = self.decoder(h_pred, skip)
+            x_pred = self._dec_n(h_pred, skip)
             return (fp, po, pr, x_pred), x_pred
 
         _, samples = jax.lax.scan(
@@ -264,7 +288,7 @@ class SVG(nn.Module):
             def one_sample(k):
                 z = mu_q + std_q * jax.random.normal(k, mu_q.shape)
                 h_pred, _ = self.frame_predictor(jnp.concatenate([h, z], -1), fp)
-                x_pred = self.decoder(h_pred, skip)
+                x_pred = self._dec_n(h_pred, skip)
                 lpx = -self._nll(x_pred, x_t)
                 lpz = jnp.sum(normal_log_prob(z, mu_p, std_p), -1)
                 lqzx = jnp.sum(normal_log_prob(z, mu_q, std_q), -1)

@@ -25,15 +25,20 @@ from .dense_latent import ConvMLPGaussian, FrameDecoder, LikelihoodHead, PhiX, P
 class VRNN(nn.Module):
     cfg: VRNNConfig
     remat: bool = True
+    # torch model.eval() equivalent (instance-global): normalize with
+    # running-average batch stats; requires cfg.track_running_stats.
+    eval_norm: bool = False
 
     def setup(self):
         cfg = self.cfg
         h = cfg.image_size // 8
-        self.phi_x = PhiX(cfg.norm_type, name="phi_x")
-        self.phi_z = PhiZ(h, h, 128, cfg.norm_type, name="phi_z")
-        self.enc = ConvMLPGaussian(cfg.z_dim, cfg.norm_type, name="enc")
-        self.prior = ConvMLPGaussian(cfg.z_dim, cfg.norm_type, name="prior")
-        self.dec = FrameDecoder(cfg.norm_type, name="dec")
+        self._ura = bool(self.eval_norm and cfg.track_running_stats)
+        trs = cfg.track_running_stats
+        self.phi_x = PhiX(cfg.norm_type, track_running_stats=trs, name="phi_x")
+        self.phi_z = PhiZ(h, h, 128, cfg.norm_type, track_running_stats=trs, name="phi_z")
+        self.enc = ConvMLPGaussian(cfg.z_dim, cfg.norm_type, track_running_stats=trs, name="enc")
+        self.prior = ConvMLPGaussian(cfg.z_dim, cfg.norm_type, track_running_stats=trs, name="prior")
+        self.dec = FrameDecoder(cfg.norm_type, track_running_stats=trs, name="dec")
         self.head = LikelihoodHead(
             cfg.x_channels,
             loss_type=cfg.loss_type,
@@ -50,24 +55,45 @@ class VRNN(nn.Module):
         self.z_0 = self.param("z_0", z, (1, cfg.z_dim))
         self.z_0x = self.param("z_0x", z, (1, cfg.z_dim))
 
+    def stats_refresh(self, x, rng):
+        """Out-of-scan forward refreshing batchnorm running stats (apply
+        with mutable=['batch_stats']; Trainer.refresh_stats drives this).
+        Requires cfg.track_running_stats."""
+        return self.__call__(x, rng)
+
+    def _phi_x_n(self, x):
+        return self.phi_x(x, self._ura)
+
+    def _phi_z_n(self, z):
+        return self.phi_z(z, self._ura)
+
+    def _enc_n(self, x):
+        return self.enc(x, self._ura)
+
+    def _prior_n(self, x):
+        return self.prior(x, self._ura)
+
+    def _dec_n(self, x):
+        return self.dec(x, self._ura)
+
     def get_inits(self, batch: int):
         rep = lambda p: jnp.broadcast_to(p, (batch,) + p.shape[1:])
         return rep(self.h_0), rep(self.c_0), rep(self.z_0), rep(self.z_0x)
 
     def _features(self, x):
         b, t = x.shape[:2]
-        flat = self.phi_x(x.reshape((b * t,) + x.shape[2:]))
+        flat = self._phi_x_n(x.reshape((b * t,) + x.shape[2:]))
         return flat.reshape((b, t) + flat.shape[1:]).swapaxes(0, 1)
 
     def __call__(self, x, rng):
         b = x.shape[0]
         feats = self._features(x[:, :2])
         h0, c0, z0, z0x = self.get_inits(b)
-        lstm_in = jnp.concatenate([feats[0], self.phi_z(z0x)], -1)
+        lstm_in = jnp.concatenate([feats[0], self._phi_z_n(z0x)], -1)
         ht, _ = self.lstm(lstm_in, h0, c0)
-        pm, ps = self.prior(ht)
-        em, es = self.enc(jnp.concatenate([ht, feats[1]], -1))
-        dec = self.dec(jnp.concatenate([ht, self.phi_z(em)], -1))
+        pm, ps = self._prior_n(ht)
+        em, es = self._enc_n(jnp.concatenate([ht, feats[1]], -1))
+        dec = self._dec_n(jnp.concatenate([ht, self._phi_z_n(em)], -1))
         nll = self.head.nll(dec, x[:, 1], rng)
         _ = self.head.decode(dec, rng)
         return nll
@@ -83,13 +109,13 @@ class VRNN(nn.Module):
         def step(carry, xs):
             h, c, zxprev = carry
             x_t, feat_prev, feat_t, key = xs
-            lstm_in = jnp.concatenate([feat_prev, self.phi_z(zxprev)], -1)
+            lstm_in = jnp.concatenate([feat_prev, self._phi_z_n(zxprev)], -1)
             h, c = self.lstm(lstm_in, h, c)
-            pm, ps = self.prior(h)
-            em, es = self.enc(jnp.concatenate([h, feat_t], -1))
+            pm, ps = self._prior_n(h)
+            em, es = self._enc_n(jnp.concatenate([h, feat_t], -1))
             k1, k2 = jax.random.split(key)
             zx_t = normal_sample(k1, em, es)
-            dec = self.dec(jnp.concatenate([h, self.phi_z(zx_t)], -1))
+            dec = self._dec_n(jnp.concatenate([h, self._phi_z_n(zx_t)], -1))
             nll = self.head.nll(dec, x_t, k2)
             kl = normal_kl(em, es, pm, ps)
             return (h, c, zx_t), dict(kl=kl, nll=nll)
@@ -118,12 +144,12 @@ class VRNN(nn.Module):
         def warm(carry, xs):
             h, c, zprev, zxprev = carry
             feat_prev, feat_t, key = xs
-            lstm_in = jnp.concatenate([feat_prev, self.phi_z(zxprev)], -1)
+            lstm_in = jnp.concatenate([feat_prev, self._phi_z_n(zxprev)], -1)
             h, c = self.lstm(lstm_in, h, c)
             k1, k2 = jax.random.split(key)
-            pm, ps = self.prior(h)
+            pm, ps = self._prior_n(h)
             z_t = normal_sample(k1, pm, ps)
-            em, es = self.enc(jnp.concatenate([h, feat_t], -1))
+            em, es = self._enc_n(jnp.concatenate([h, feat_t], -1))
             zx_t = normal_sample(k2, em, es)
             return (h, c, z_t, zx_t), None
 
@@ -135,13 +161,13 @@ class VRNN(nn.Module):
 
         def step(carry, key):
             h, c, zprev, pred = carry
-            ut = self.phi_x(pred)
-            lstm_in = jnp.concatenate([ut, self.phi_z(zprev)], -1)
+            ut = self._phi_x_n(pred)
+            lstm_in = jnp.concatenate([ut, self._phi_z_n(zprev)], -1)
             h, c = self.lstm(lstm_in, h, c)
-            pm, ps = self.prior(h)
+            pm, ps = self._prior_n(h)
             k1, k2 = jax.random.split(key)
             z_t = normal_sample(k1, pm, ps)
-            dec = self.dec(jnp.concatenate([h, self.phi_z(z_t)], -1))
+            dec = self._dec_n(jnp.concatenate([h, self._phi_z_n(z_t)], -1))
             new_pred = self.head.decode(dec, k2)
             return (h, c, z_t, new_pred), new_pred
 
@@ -159,12 +185,12 @@ class VRNN(nn.Module):
         def step(carry, xs):
             h, c, zxprev = carry
             feat_prev, feat_t, key = xs
-            lstm_in = jnp.concatenate([feat_prev, self.phi_z(zxprev)], -1)
+            lstm_in = jnp.concatenate([feat_prev, self._phi_z_n(zxprev)], -1)
             h, c = self.lstm(lstm_in, h, c)
-            em, es = self.enc(jnp.concatenate([h, feat_t], -1))
+            em, es = self._enc_n(jnp.concatenate([h, feat_t], -1))
             k1, k2 = jax.random.split(key)
             zx_t = normal_sample(k1, em, es)
-            dec = self.dec(jnp.concatenate([h, self.phi_z(zx_t)], -1))
+            dec = self._dec_n(jnp.concatenate([h, self._phi_z_n(zx_t)], -1))
             return (h, c, zx_t), self.head.decode(dec, k2)
 
         _, recons = jax.lax.scan(step, (h0, c0, z0x), (feats[:-1], feats[1:], keys))
@@ -176,13 +202,13 @@ class VRNN(nn.Module):
 
         def step(carry, key):
             h, c, zprev, frame = carry
-            ut = self.phi_x(frame)
-            lstm_in = jnp.concatenate([ut, self.phi_z(zprev)], -1)
+            ut = self._phi_x_n(frame)
+            lstm_in = jnp.concatenate([ut, self._phi_z_n(zprev)], -1)
             h, c = self.lstm(lstm_in, h, c)
-            pm, ps = self.prior(h)
+            pm, ps = self._prior_n(h)
             k1, k2 = jax.random.split(key)
             z_t = normal_sample(k1, pm, ps)
-            dec = self.dec(jnp.concatenate([h, self.phi_z(z_t)], -1))
+            dec = self._dec_n(jnp.concatenate([h, self._phi_z_n(z_t)], -1))
             s = self.head.decode(dec, k2)
             return (h, c, z_t, s), s
 
@@ -202,15 +228,15 @@ class VRNN(nn.Module):
         def step(carry, xs):
             h, c, zxprev = carry
             x_t, feat_prev, feat_t, key = xs
-            lstm_in = jnp.concatenate([feat_prev, self.phi_z(zxprev)], -1)
+            lstm_in = jnp.concatenate([feat_prev, self._phi_z_n(zxprev)], -1)
             h, c = self.lstm(lstm_in, h, c)
-            pm, ps = self.prior(h)
-            em, es = self.enc(jnp.concatenate([h, feat_t], -1))
+            pm, ps = self._prior_n(h)
+            em, es = self._enc_n(jnp.concatenate([h, feat_t], -1))
 
             def one_sample(k):
                 k1, k2 = jax.random.split(k)
                 zx = normal_sample(k1, em, es)
-                dec = self.dec(jnp.concatenate([h, self.phi_z(zx)], -1))
+                dec = self._dec_n(jnp.concatenate([h, self._phi_z_n(zx)], -1))
                 lpx = -self.head.nll(dec, x_t, k2)
                 lpz = jnp.sum(normal_log_prob(zx, pm, ps), -1)
                 lqzx = jnp.sum(normal_log_prob(zx, em, es), -1)

@@ -108,3 +108,42 @@ def test_rfn_untracked_is_unchanged():
     assert "batch_stats" not in v
     out = model.apply(v, x, jax.random.key(3), method="loss")
     assert np.isfinite(float(out["nll"]))
+
+
+@pytest.mark.fast
+@pytest.mark.parametrize("family", ["srnn", "vrnn", "svg"])
+def test_dense_models_running_stats(family):
+    """SRNN/VRNN/SVG: tracking creates batch_stats, stats_refresh moves
+    them, eval_norm applies end-to-end (same contract as RFN)."""
+    from recurrent_flows_tpu.config import SRNNConfig, SVGConfig, VRNNConfig
+    from recurrent_flows_tpu.models import SRNN, SVG, VRNN
+
+    if family == "srnn":
+        cfg = SRNNConfig(image_size=16, h_dim=16, z_dim=4, a_dim=8,
+                         track_running_stats=True)
+        cls = SRNN
+    elif family == "vrnn":
+        cfg = VRNNConfig(image_size=16, h_dim=16, z_dim=4,
+                         track_running_stats=True)
+        cls = VRNN
+    else:
+        cfg = SVGConfig(image_size=16, z_dim=4, c_features=16, h_dim=32,
+                        track_running_stats=True)
+        cls = SVG
+    model = cls(cfg, remat=False)
+    x = jax.random.uniform(jax.random.key(0), (2, 4, 16, 16, 1))
+    v = model.init(jax.random.key(1), x, jax.random.key(2))
+    assert "batch_stats" in v
+    _, upd = model.apply(v, x, jax.random.key(3), method="stats_refresh",
+                         mutable=["batch_stats"])
+    moved = any(
+        not np.allclose(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree.leaves(upd["batch_stats"]),
+                        jax.tree.leaves(v["batch_stats"]))
+    )
+    assert moved, "refresh must move at least one running stat"
+    v2 = {**v, "batch_stats": upd["batch_stats"]}
+    eval_model = cls(cfg, remat=False, eval_norm=True)
+    _, preds = eval_model.apply(v2, x, 2, 2, jax.random.key(4),
+                                method="predict")
+    assert np.isfinite(np.asarray(preds)).all()
