@@ -95,9 +95,15 @@ def measure_ours() -> float:
     # needs characterizing; a single timing block can't distinguish clock
     # throttling from steady-state). Each trial: n_runs async-dispatched
     # calls, one final block -> device throughput, not tunnel latency.
-    n_runs, n_trials = 20, 7
+    n_runs, n_trials = 20, 9
     frames = bs * b["n_predictions"]
     fps_trials = []
+    # one discarded warm trial first: the tunnel/link often needs a few
+    # seconds to reach steady dispatch cadence (observed 92k dips on the
+    # first trials of otherwise-140k runs)
+    for _ in range(n_runs):
+        preds = rollout(variables, x, jax.random.key(3))
+    preds.block_until_ready()
     for trial in range(n_trials):
         t0 = time.perf_counter()
         for i in range(n_runs):
