@@ -57,6 +57,8 @@ def add_trainer_args(p):
     p.add_argument("--scheduler_type", choices=["plateau", "linear"], default="plateau")
     p.add_argument("--patience_es", type=int, default=50_000_000)
     p.add_argument("--patience_lr", type=int, default=10_000_000)
+    p.add_argument("--checkpoint_every", type=int, default=1,
+                   help="save a full checkpoint every N epochs")
     p.add_argument("--factor_lr", type=restricted_float, default=0.9999)
     p.add_argument("--min_lr", type=float, default=5e-5)
     p.add_argument("--n_bits", type=int, default=8)
@@ -105,6 +107,7 @@ def train_config_from_args(args) -> TrainConfig:
         beta_steps=args.beta_steps,
         n_epochs=args.n_epochs,
         steps_per_epoch=args.steps_per_epoch,
+        checkpoint_every=args.checkpoint_every,
         n_predictions=args.n_predictions,
         n_conditions=args.n_conditions,
         seed=args.seed,

@@ -240,6 +240,9 @@ class TrainConfig:
     steps_per_epoch: int = 1875  # "epoch" for on-the-fly generated data
     n_predictions: int = 7
     n_conditions: int = 3
+    # save a full checkpoint every N epochs (always on the final/stop
+    # epoch). A 36M-param orbax save costs ~17s through the remote link.
+    checkpoint_every: int = 1
     n_predictions_plot: int = 6
     seed: int = 0
     grad_clip: float = 0.0  # optax clip_by_global_norm; 0 = off (reference

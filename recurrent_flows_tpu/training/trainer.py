@@ -116,6 +116,7 @@ class Trainer:
         self.epoch_i = 0
         self.counter = 0  # annealing counter (# optimizer steps)
         self.plot_counter = 0
+        self._plot_fns = None  # jitted predict/reconstruct/sample for plots
         self.best_loss = float("inf")
         self.stop = False
         self.beta_schedule = BetaSchedule(tcfg.beta_max, tcfg.beta_min, tcfg.beta_steps)
@@ -290,7 +291,11 @@ class Trainer:
                     self.plotter()
                 except Exception as e:  # plotting must never kill training
                     print(f"plotter failed: {e}")
-            self.checkpoint("last")
+            # a full orbax save fetches params+opt state through the link
+            # (~17s at 36M params); throttle on short epochs if configured
+            ck_every = getattr(self.tcfg, "checkpoint_every", 1)
+            if self.epoch_i % ck_every == 0 or self.epoch_i == n_epochs or self.stop:
+                self.checkpoint("last")
             if self.early.step(epoch_loss) or self.stop:
                 break
             if self.early.best_loss < self.best_loss and self.epoch_i > 50:
@@ -436,11 +441,24 @@ class Trainer:
         batch = self._host_batch(k1)
         x = preprocess(batch, tcfg.n_bits, tcfg.preprocess_range, tcfg.preprocess_scale)
         v = self.variables
-        n_cond, n_pred = tcfg.n_conditions, tcfg.n_predictions
-        true_x, preds = self.model.apply(v, x, n_pred, n_cond, k2, method="predict")
-        recons = self.model.apply(v, x, k3, method="reconstruct")
+        if self._plot_fns is None:
+            # jit once: eager applies dispatch op-by-op through the
+            # remote-TPU link (measured 62s/epoch at the thesis config vs
+            # seconds jitted)
+            n_cond, n_pred = tcfg.n_conditions, tcfg.n_predictions
+            self._plot_fns = (
+                jax.jit(lambda v, x, k: self.model.apply(
+                    v, x, n_pred, n_cond, k, method="predict")),
+                jax.jit(lambda v, x, k: self.model.apply(
+                    v, x, k, method="reconstruct")),
+                jax.jit(lambda v, x, k: self.model.apply(
+                    v, x, x.shape[1], k, method="sample")),
+            )
+        predict_fn, recon_fn, sample_fn = self._plot_fns
+        true_x, preds = predict_fn(v, x, k2)
+        recons = recon_fn(v, x, k3)
         recons, recons_flow = (recons if isinstance(recons, tuple) else (recons, None))
-        samples = self.model.apply(v, x, x.shape[1], k4, method="sample")
+        samples = sample_fn(v, x, k4)
 
         def post(a):
             a = preprocess(a, tcfg.n_bits, tcfg.preprocess_range,
