@@ -46,6 +46,10 @@ def pytest_collection_modifyitems(config, items):
     import pytest as _pytest
 
     for item in items:
+        # 'slow' opts an individual test OUT of the fast smoke tier even
+        # when its file is fast-marked (keeps `-m fast` a <4 min signal)
+        if item.get_closest_marker("slow") is not None:
+            continue
         if _osp.basename(str(item.fspath)) in _FAST_FILES:
             item.add_marker(_pytest.mark.fast)
 _FAST_FILES.add("test_embedders.py")

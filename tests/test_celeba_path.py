@@ -49,6 +49,7 @@ def test_prepare_celeba_roundtrip(tmp_path):
     np.testing.assert_allclose(y, arr[:, 12:20, 12:20])
 
 
+@pytest.mark.slow
 def test_cglow_trains_from_prepared_pickle(tmp_path):
     """End-to-end: prepared pickle -> ConditionalGlowImage learns p(inner|outer)."""
     import optax

@@ -23,7 +23,7 @@ def _video(n=2, t=16, s=32):
         n, t, s, s, 1)
 
 
-@pytest.mark.fast
+@pytest.mark.slow
 def test_i3d_embed_shape_and_fingerprint():
     params = i3d.random_params(0)
     emb = i3d.i3d_embed(_video(), params)
@@ -57,7 +57,7 @@ def test_i3d_loader_validates(tmp_path):
         i3d.load_params(str(tmp_path / "bad2.npz"))
 
 
-@pytest.mark.fast
+@pytest.mark.slow
 def test_fvd_with_jax_i3d_weights_file(tmp_path):
     path = str(tmp_path / "i3d.npz")
     np.savez(path, **i3d.random_params(0))

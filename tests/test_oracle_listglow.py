@@ -70,6 +70,7 @@ def _copy_glowstep(tstep, p):
     )
 
 
+@pytest.mark.slow
 def test_listglow_f_and_nll_match_reference():
     global inv_consts
     cfg = GlowConfig(L=L, K=K, n_units_affine=8, n_units_prior=8, n_bits=8)

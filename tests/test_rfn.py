@@ -128,7 +128,7 @@ def test_rfn_remat_matches():
     np.testing.assert_allclose(float(out1["nll"]), float(out2["nll"]), rtol=1e-5)
 
 
-@pytest.mark.fast
+@pytest.mark.slow
 def test_batch_flow_loss_matches_scanned_flow():
     """batch_flow=True (time-batched flow) must reproduce the default
     in-scan flow loss bit-for-bit: same math, same RNG consumption."""

@@ -59,7 +59,7 @@ def _tiny_cfg(track: bool) -> RFNConfig:
     )
 
 
-@pytest.mark.fast
+@pytest.mark.slow
 def test_rfn_running_stats_roundtrip():
     """Train-mode refresh updates stats; eval_norm model consumes them."""
     cfg = _tiny_cfg(track=True)
@@ -112,6 +112,7 @@ def test_rfn_untracked_is_unchanged():
 
 @pytest.mark.fast
 @pytest.mark.parametrize("family", ["srnn", "vrnn", "svg"])
+@pytest.mark.slow
 def test_dense_models_running_stats(family):
     """SRNN/VRNN/SVG: tracking creates batch_stats, stats_refresh moves
     them, eval_norm applies end-to-end (same contract as RFN)."""
