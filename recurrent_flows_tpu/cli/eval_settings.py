@@ -48,7 +48,11 @@ def load_model_from_checkpoint(ckpt_dir: str, temperature=None):
     cfg = config_from_dict(cfgcls, meta["model_config"])
     if temperature is not None and hasattr(cfg, "temperature"):
         cfg = dataclasses.replace(cfg, temperature=temperature)
-    model = getattr(importlib.import_module(modname), clsname)(cfg)
+    cls = getattr(importlib.import_module(modname), clsname)
+    # torch model.eval() parity: when the checkpoint tracked batchnorm
+    # running averages, evaluate with them (NormLayer docstring)
+    eval_norm = bool(getattr(cfg, "track_running_stats", False))
+    model = cls(cfg, eval_norm=eval_norm) if eval_norm else cls(cfg)
     variables = {
         "params": jax.tree.map(jnp.asarray, state["params"]),
         "consts": jax.tree.map(jnp.asarray, state.get("consts", {}) or {}),
