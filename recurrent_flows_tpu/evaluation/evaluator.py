@@ -175,7 +175,9 @@ class Evaluator:
         predicted frames enter the embedding (thesis protocol: 13,
         reference eval_settings.py fvd_predicts)."""
         s = self.s
-        horizon = s.fvd_horizon or s.n_predictions
+        # rollouts only produce n_predictions frames; a larger horizon would
+        # silently compare real clips longer than the fake ones
+        horizon = min(s.fvd_horizon or s.n_predictions, s.n_predictions)
         real, fake = [], []
         for i in range(s.n_batches):
             kb = jax.random.fold_in(key, 7000 + i)

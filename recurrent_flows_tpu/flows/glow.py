@@ -65,6 +65,10 @@ class GlowStep(nn.Module):
         return (
             cfg.flow_norm == "actnorm"
             and cfg.lu_decomposed
+            # the kernel's coupling net hardcodes relu; a leakyrelu config
+            # must fall back to the module path or it would silently compute
+            # a different function than the checkpoint was trained with
+            and cfg.non_lin == "relu"
             and not ddi
             and not self.is_initializing()
             and x.shape[1] * x.shape[2] <= max_hw

@@ -121,8 +121,12 @@ class NormLayer(nn.Module):
                 if (self.is_mutable_collection("batch_stats")
                         and not self.is_initializing()):
                     m = self.momentum
+                    # torch BatchNorm2d tracks UNBIASED variance in its
+                    # running stats (normalization itself stays biased)
+                    n = x.shape[0] * x.shape[1] * x.shape[2]
+                    var_unbiased = var * (n / max(n - 1, 1))
                     r_mean.value = (1 - m) * r_mean.value + m * mean
-                    r_var.value = (1 - m) * r_var.value + m * var
+                    r_var.value = (1 - m) * r_var.value + m * var_unbiased
         else:
             mean = jnp.mean(x, axis=axes, keepdims=True)
             var = jnp.var(x, axis=axes, keepdims=True)

@@ -294,9 +294,13 @@ class Trainer:
             # a full orbax save fetches params+opt state through the link
             # (~17s at 36M params); throttle on short epochs if configured
             ck_every = getattr(self.tcfg, "checkpoint_every", 1)
-            if self.epoch_i % ck_every == 0 or self.epoch_i == n_epochs or self.stop:
+            early_stop = self.early.step(epoch_loss)
+            if (self.epoch_i % ck_every == 0 or self.epoch_i == n_epochs
+                    or self.stop or early_stop):
+                # early stop on an off-cadence epoch must still save 'last'
+                # or up to ck_every-1 epochs of trained weights are lost
                 self.checkpoint("last")
-            if self.early.step(epoch_loss) or self.stop:
+            if early_stop or self.stop:
                 break
             if self.early.best_loss < self.best_loss and self.epoch_i > 50:
                 self.best_loss = self.early.best_loss
