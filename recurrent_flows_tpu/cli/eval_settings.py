@@ -72,6 +72,9 @@ def build_parser():
     p.add_argument("--n_predictions", type=int, default=10)
     p.add_argument("--resamples", type=int, default=5)
     p.add_argument("--n_batches", type=int, default=4)
+    p.add_argument("--n_sequences", type=int, default=None,
+                   help="evaluate this many test sequences (overrides "
+                        "--n_batches; thesis protocol defaults to 128)")
     p.add_argument("--batch_size", type=int, default=8)
     p.add_argument("--temperature", type=float, default=None)
     p.add_argument("--temperatures", nargs="*", type=float, default=None,
@@ -97,6 +100,11 @@ def apply_thesis_protocol(args):
     args.n_predictions = 25  # 30-frame sequences, predict from frame 5
     args.resamples = 30
     args.fvd_horizon = 13
+    if args.n_sequences is None:
+        # the reference iterates the whole test loader
+        # (error_metrics.py:446-515); on generated data 'the test set' is
+        # open-ended, so default the protocol to a CI-stable sample
+        args.n_sequences = 128
     if args.temperature is None:
         args.temperature = 0.7
     return args
@@ -168,6 +176,8 @@ def main(argv=None):
     args = build_parser().parse_args(argv)
     if args.thesis_protocol:
         args = apply_thesis_protocol(args)
+    if args.n_sequences is not None:
+        args.n_batches = -(-args.n_sequences // args.batch_size)
     ckpt_dir = os.path.join(args.path, "model_folder", args.checkpoint)
     out_dir = os.path.join(args.path, "eval")
     os.makedirs(out_dir, exist_ok=True)

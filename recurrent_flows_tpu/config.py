@@ -80,11 +80,14 @@ class GlowConfig:
     batchnorm_momentum: float = 0.0
     clamp_type: str = "realnvp"  # {glow, realnvp, softclamp, none}
     split2d_act: str = "softplus"  # {softplus, exp}
-    # coupling-net conv implementation: 'conv' (XLA convolution), 'im2col'
-    # (flattened matmul), 'fused' (Pallas whole-GlowStep kernel — wins ~2x
-    # on deep scales at large batched rows, loses end-to-end in the scanned
-    # train/sample paths; see flows/glow.py:_fused_eligible for the
-    # measurements), 'auto' (currently == conv, the measured best)
+    # coupling-net conv implementation: 'auto' (== conv, the measured
+    # best), 'conv' (XLA convolution), 'fused' (Pallas whole-GlowStep
+    # kernel — wins ~2x on deep scales at large batched rows, loses
+    # end-to-end in the scanned train/sample paths; see
+    # flows/glow.py:_fused_eligible for the measurements). 'im2col' was
+    # REMOVED as a selectable path in round 3 — it lost to XLA conv at
+    # every scale (docs/PERF.md); flows.modules.conv2d_im2col remains as
+    # an internal utility for microbenches and kernel validation.
     coupling_impl: str = "auto"
 
 

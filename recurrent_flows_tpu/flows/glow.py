@@ -151,13 +151,19 @@ class GlowStep(nn.Module):
         else:
             norm = ActNorm(self.channels, name="norm")
             norm_kwargs = dict(ddi=ddi)
+        impl = getattr(cfg, "coupling_impl", "conv")
+        if impl == "im2col":
+            raise ValueError(
+                "coupling_impl='im2col' was removed: it measured slower than "
+                "XLA conv at every scale (docs/PERF.md). Use 'auto'/'conv', "
+                "or 'fused' for large batched rows through deep scales.")
         invconv = InvConv(self.channels, lu_decomposed=cfg.lu_decomposed, name="invconv")
         affine = AffineCoupling(
             self.channels,
             hidden_units=cfg.n_units_affine,
             non_lin=cfg.non_lin,
             clamp_type=cfg.clamp_type,
-            impl=getattr(cfg, "coupling_impl", "conv"),
+            impl=impl,
             name="affine",
         )
         if not reverse:

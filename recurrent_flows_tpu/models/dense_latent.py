@@ -104,7 +104,8 @@ class FrameDecoder(nn.Module):
         spec = [("deconv", 512), ("conv", 256), ("deconv", 64), ("conv", 64), ("deconv", 32)]
         for j, (kind, ch) in enumerate(spec):
             if kind == "deconv":
-                x = deconv2d(ch, name=f"deconv{j}")(x)
+                # reference dec uses plain ConvTranspose2d (with bias)
+                x = deconv2d(ch, name=f"deconv{j}", use_bias=True)(x)
             else:
                 x = conv2d(ch, 3, name=f"conv{j}")(x)
             x = NormLayer(self.norm_type,

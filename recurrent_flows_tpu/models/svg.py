@@ -26,6 +26,10 @@ from ..utils.numerics import batch_reduce, normal_kl, normal_log_prob
 
 _CHANNELS = (64, 128, 256, 512)
 _LAYERS = (2, 2, 3, 3)
+# decoder vgg-layer counts per stage: the reference decoder runs ONE vgg
+# layer at the finest scale ('out', SVG.py:100-104) but 2/3/3 at the
+# coarser ones (upc4/upc3/upc2)
+_DEC_LAYERS = (1, 2, 3, 3)
 
 
 def _vgg_layer(x, ch, norm_type, name_prefix, module, track=False, ura=False):
@@ -85,7 +89,7 @@ class SVGDecoder(nn.Module):
             x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)  # nearest 2x
             x = jnp.concatenate([x, skips[s]], axis=-1)
             ch = _CHANNELS[min(s, len(_CHANNELS) - 1)]
-            n_l = _LAYERS[min(s, len(_LAYERS) - 1)]
+            n_l = _DEC_LAYERS[min(s, len(_DEC_LAYERS) - 1)]
             for l in range(n_l):
                 out_ch = ch if l < n_l - 1 else _CHANNELS[max(s - 1, 0)] if s > 0 else 64
                 x = _vgg_layer(x, out_ch, self.norm_type, f"d{s}_{l}", self, trs, ura)

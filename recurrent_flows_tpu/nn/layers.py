@@ -64,17 +64,20 @@ def conv2d(
     )
 
 
-def deconv2d(features: int, name: str | None = None) -> nn.ConvTranspose:
+def deconv2d(features: int, name: str | None = None,
+             use_bias: bool = False) -> nn.ConvTranspose:
     """Transposed conv k=4 s=2 p=1 (exactly 2x upsampling, torch geometry).
 
-    Reference Utils/modules.py:176.
+    Reference Utils/modules.py:176 (bias=False there); the SRNN/VRNN frame
+    decoder's deconvs carry a bias (reference SRNN/SRNN.py:131-143 uses
+    plain ConvTranspose2d), hence the flag.
     """
     return nn.ConvTranspose(
         features,
         kernel_size=(4, 4),
         strides=(2, 2),
         padding="SAME",  # == torch ConvTranspose2d(k=4, s=2, p=1) geometry (2x)
-        use_bias=False,
+        use_bias=use_bias,
         name=name,
     )
 

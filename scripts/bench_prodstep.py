@@ -51,6 +51,12 @@ def time_step(impl: str, runs: int, batch_flow: bool = False) -> float:
         return jax.value_and_grad(loss_fn)(params)
 
     params = variables["params"]
+    # compiled-cost introspection for the roofline statement (bench.py)
+    try:
+        cost = step.lower(params, x, jax.random.key(3)).compile().cost_analysis()
+        time_step.flops = float(cost.get("flops", 0.0))
+    except Exception:
+        time_step.flops = 0.0
     out = step(params, x, jax.random.key(3))
     jax.block_until_ready(out)
     t0 = time.perf_counter()

@@ -20,7 +20,7 @@ jax.config.update("jax_default_matmul_precision", "highest")
 
 
 # ---------------------------------------------------------------------------
-# Tiering: `-m fast` = a <2 min smoke tier (numerics oracles, import purity,
+# Tiering: `-m fast` = a <5 min smoke tier (numerics oracles, import purity,
 # data plumbing). Individual tests elsewhere may also carry @pytest.mark.fast.
 # Heavy training/parity tests carry @pytest.mark.slow explicitly.
 # ---------------------------------------------------------------------------
@@ -47,7 +47,7 @@ def pytest_collection_modifyitems(config, items):
 
     for item in items:
         # 'slow' opts an individual test OUT of the fast smoke tier even
-        # when its file is fast-marked (keeps `-m fast` a <4 min signal)
+        # when its file is fast-marked (keeps `-m fast` a <5 min signal)
         if item.get_closest_marker("slow") is not None:
             continue
         if _osp.basename(str(item.fspath)) in _FAST_FILES:

@@ -165,9 +165,12 @@ def _copy_vgg_upscaler(tvgg, p, structures):
     for l, structure in enumerate(structures):
         convs = [i for i in structure if isinstance(i, int)]
         if l > 0 and "deconv" in structure:
-            # ConvTranspose2d weight is [Cin, Cout, kh, kw]
-            dk = np.asarray(p[f"b{l}_up"]["kernel"]).transpose(2, 3, 0, 1)
-            tvgg.upscales_nets[l - 1][0].weight.data = _t(dk)
+            # ConvTranspose2d weight is [Cin, Cout, kh, kw]; flax
+            # ConvTranspose does NOT flip kernels while torch's does, so
+            # flip both spatial axes when copying
+            dk = np.asarray(p[f"b{l}_up"]["kernel"])[::-1, ::-1]
+            tvgg.upscales_nets[l - 1][0].weight.data = _t(
+                np.ascontiguousarray(dk.transpose(2, 3, 0, 1)))
         idx = 0
         for layer in tvgg.l_nets[l]:
             if isinstance(layer, torch.nn.Conv2d):
