@@ -90,33 +90,93 @@ def measure_ours() -> float:
     except Exception:
         measure_ours.rollout_flops = 0.0
 
-    # DEVICE-SIDE timing (primary, round 3): R rollouts inside one
-    # lax.fori_loop -> ONE dispatch + ONE result fetch per trial, so the
-    # drifting tunnel link contributes O(1/R) instead of O(1) to the
-    # measurement (BENCH_r02 showed a 54k outlier and 25% round-over-round
-    # swings on identical HLO from link drift alone).
-    R = 10
-
+    # DEVICE-SIDE timing (round 3, VALIDATED methodology). Two hard-won
+    # facts about this axon tunnel backend (scripts/probe_rollout_timing.py):
+    #   1. block_until_ready() is a NO-OP: a full rollout "dispatch+block"
+    #      returns in 0.7 ms while the device needs ~20 ms. Rounds 1-2's
+    #      async-dispatch headline (120-170k f/s) measured the host's
+    #      ENQUEUE rate, not compute. Results must be fetched BY VALUE.
+    #   2. One value-fetch includes a ~40 ms link constant, comparable to
+    #      the device time itself.
+    # So the headline is the SLOPE of wall(R) = a + b*R where each trial
+    # runs R rollouts inside one lax.fori_loop and fetches the scalar sum:
+    # b is pure device ms/rollout, the link constant lands in a. Probe fit
+    # (R in {1,2,5,10,20}): a=39.5 ms, b=20.52 ms, R^2 ~ 1.
     import jax.numpy as jnp
 
-    @jax.jit
-    def rollout_loop(v, x, key):
-        def body(i, acc):
-            preds = model.apply(v, x, b["n_predictions"], b["n_conditions"],
-                                jax.random.fold_in(key, i), method="predict")[1]
-            return acc + jnp.sum(preds)
+    def make_loop(R):
+        @jax.jit
+        def rollout_loop(v, x, key):
+            def body(i, acc):
+                preds = model.apply(
+                    v, x, b["n_predictions"], b["n_conditions"],
+                    jax.random.fold_in(key, i), method="predict")[1]
+                return acc + jnp.sum(preds)
 
-        return jax.lax.fori_loop(0, R, body, jnp.float32(0.0))
+            return jax.lax.fori_loop(0, R, body, jnp.float32(0.0))
+
+        return rollout_loop
 
     frames = bs * b["n_predictions"]
-    rollout_loop(variables, x, jax.random.key(3)).block_until_ready()  # compile
-    n_trials = 9
-    fps_trials = []
-    for trial in range(n_trials):
-        t0 = time.perf_counter()
-        rollout_loop(variables, x, jax.random.key(100 + trial)).block_until_ready()
-        dt = (time.perf_counter() - t0) / R
-        fps_trials.append(frames / dt)
+    R_LO, R_HI = 2, 12
+
+    def _slope_trials():
+        loops = {R: make_loop(R) for R in (R_LO, R_HI)}
+        ms = {R: [] for R in (R_LO, R_HI)}
+        for R, loop in loops.items():
+            val = float(loop(variables, x, jax.random.key(3)))  # compile
+            if val != val:
+                raise RuntimeError("device loop produced NaN")
+        for trial in range(9):
+            for R, loop in loops.items():
+                t0 = time.perf_counter()
+                float(loop(variables, x, jax.random.key(100 + trial)))
+                ms[R].append((time.perf_counter() - t0) * 1000.0)
+        trials = []
+        for lo, hi in zip(ms[R_LO], ms[R_HI]):
+            slope = (hi - lo) / (R_HI - R_LO)  # device ms/rollout
+            if slope <= 0:
+                continue  # link stall in the lo trial; drop the pair
+            trials.append(frames / slope * 1000.0)
+        if len(trials) < 5:
+            raise RuntimeError("too many degenerate slope pairs")
+        link_ms = sorted(
+            lo - (hi - lo) / (R_HI - R_LO) * R_LO
+            for lo, hi in zip(ms[R_LO], ms[R_HI])
+        )[len(ms[R_LO]) // 2]
+        measure_ours.link_const_ms = round(link_ms, 1)
+        flops = measure_ours.rollout_flops
+        if flops:
+            implied_tflops = flops * max(trials) / frames / 1e12
+            if implied_tflops > 2 * 98.5:  # >2x nominal f32 peak: not real
+                raise RuntimeError(
+                    f"slope timing implausible ({implied_tflops:.0f} "
+                    "TFLOP/s); falling back to serial value-fetch")
+        return trials, (
+            f"device-side slope: wall(R)=a+b*R over R={R_LO},{R_HI} "
+            "rollouts per lax.fori_loop dispatch, scalar fetched by value; "
+            "fps = frames/b (link constant a excluded)")
+
+    def _serial_fetch_trials():
+        """Fallback: one rollout per trial, result fetched by value. The
+        ~40 ms link constant is INCLUDED, so this UNDERSTATES device
+        throughput — honest lower bound, never inflated."""
+        p = rollout(variables, x, jax.random.key(3))
+        float(jnp.sum(p))  # compile + sync
+        trials = []
+        for trial in range(9):
+            t0 = time.perf_counter()
+            float(jnp.sum(rollout(variables, x, jax.random.key(100 + trial))))
+            trials.append(frames / (time.perf_counter() - t0))
+        return trials, ("serial value-fetch per rollout (link constant "
+                        "included; lower bound)")
+
+    measure_ours.link_const_ms = None
+    try:
+        fps_trials, method = _slope_trials()
+    except Exception as e:
+        print(f"# slope timing unavailable: {e}", flush=True)
+        fps_trials, method = _serial_fetch_trials()
 
     # documented outlier-trim rule: a trial below 0.6x the best trial is a
     # link stall (SSH tunnel hiccup), not device behavior — drop it from
@@ -126,7 +186,7 @@ def measure_ours() -> float:
     kept = sorted(v for v in fps_trials if v >= 0.6 * best)
     q = lambda p: kept[min(int(p * len(kept)), len(kept) - 1)]
     measure_ours.dispersion = dict(
-        method=f"device-side: {R} rollouts per lax.fori_loop dispatch",
+        method=method,
         trials_in_order=[round(v, 1) for v in ordered],
         n_trimmed_link_stalls=len(ordered) - len(kept),
         trim_rule="drop trials < 0.6x best",
@@ -136,18 +196,8 @@ def measure_ours() -> float:
         iqr_over_median=round((q(0.75) - q(0.25)) / q(0.5), 4),
         min=kept[0],
         max=kept[-1],
+        link_const_ms=measure_ours.link_const_ms,
     )
-
-    # per-call (dispatch-inclusive) number kept for continuity with
-    # BENCH_r01/r02, which used 20 async dispatches per trial
-    preds = rollout(variables, x, jax.random.key(3))
-    preds.block_until_ready()
-    n_runs = 20
-    t0 = time.perf_counter()
-    for i in range(n_runs):
-        preds = rollout(variables, x, jax.random.key(200 + i))
-    preds.block_until_ready()
-    measure_ours.per_call_fps = frames / ((time.perf_counter() - t0) / n_runs)
     return q(0.5)
 
 
@@ -304,8 +354,11 @@ def main():
     frames = BENCH["batch_size"] * BENCH["n_predictions"]
     tflops = flops * ours / frames / 1e12 if flops else None
     # primary line FIRST (the driver records stdout; secondary measurements
-    # below are slower and must never block it). value = device-side
-    # fori-loop median (link-robust); per_call_fps = the r01/r02 method.
+    # below are slower and must never block it). value = median device-side
+    # slope fps (validated by value fetch; see measure_ours). NOTE r01/r02
+    # recorded 120-170k f/s with an async-dispatch method that this round
+    # proved measures host enqueue rate, not compute (block_until_ready is
+    # a no-op on this backend) — those numbers are NOT comparable.
     print(
         json.dumps(
             dict(
@@ -316,7 +369,6 @@ def main():
                 tflops_per_s=round(tflops, 2) if tflops else None,
                 pct_of_f32_peak=round(100 * tflops / V5E_F32_PEAK_TFLOPS, 1)
                 if tflops else None,
-                per_call_fps=round(getattr(measure_ours, "per_call_fps", 0.0), 2),
                 dispersion=getattr(measure_ours, "dispersion", None),
             )
         ),
@@ -349,8 +401,6 @@ def main():
         details = dict(train_step=measure_train_step(),
                        prod_loss_grad=prod,
                        rollout_frames_per_s=ours,
-                       rollout_per_call_fps=getattr(measure_ours, "per_call_fps",
-                                                    None),
                        rollout_dispersion=getattr(measure_ours, "dispersion", None),
                        rollout_flops=flops,
                        rollout_tflops_per_s=round(tflops, 3) if tflops else None,

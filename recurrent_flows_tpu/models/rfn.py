@@ -55,6 +55,12 @@ class RFN(nn.Module):
     # scanned form wins); kept as an opt-in structure for future configs
     # with larger T or deeper flows. scripts/bench_prodstep.py measures it.
     batch_flow: bool = False
+    # optional jax.checkpoint policy name for the scan-body remat (e.g.
+    # 'dots_saveable': save matmul outputs, recompute elementwise only —
+    # a middle ground between remat on/off). Any attribute name from
+    # jax.checkpoint_policies; None = plain full remat. Measured in
+    # scripts/profile_prodstep.py.
+    remat_policy: str | None = None
 
     # ------------------------------------------------------------------
     def setup(self):
@@ -298,7 +304,13 @@ class RFN(nn.Module):
                 out["nll"] = nll
             return (zt, zxt), out
 
-        step_fn = jax.checkpoint(step) if self.remat else step
+        if self.remat and self.remat_policy:
+            pol = getattr(jax.checkpoint_policies, self.remat_policy)
+            step_fn = jax.checkpoint(step, policy=pol)
+        elif self.remat:
+            step_fn = jax.checkpoint(step)
+        else:
+            step_fn = step
         xs = (x_tm[1:], hs, as_, f_last[1:], skips_prev, keys)
         _, outs = jax.lax.scan(step_fn, (z0, z0x), xs)
 

@@ -40,7 +40,14 @@ def time_step(impl: str, runs: int, batch_flow: bool = False) -> float:
     variables = model.init(jax.random.key(1), x[:2], jax.random.key(2))
 
     @jax.jit
-    def step(params, x, key):
+    def step(params, x, key, chain):
+        # `chain` (a device scalar, usually the previous call's loss) is
+        # folded into x INSIDE the jit: it forces on-device serialization
+        # of back-to-back dispatches without any host/eager traffic —
+        # eager chaining was measured to cost ~1 s/iter through the axon
+        # tunnel (the 5 MB intermediate round-trips per eager op).
+        x = x + 0.0 * chain
+
         def loss_fn(p):
             out = model.apply(
                 {"params": p, "consts": variables.get("consts", {})},
@@ -53,16 +60,22 @@ def time_step(impl: str, runs: int, batch_flow: bool = False) -> float:
     params = variables["params"]
     # compiled-cost introspection for the roofline statement (bench.py)
     try:
-        cost = step.lower(params, x, jax.random.key(3)).compile().cost_analysis()
+        cost = step.lower(params, x, jax.random.key(3),
+                          jnp.float32(0.0)).compile().cost_analysis()
         time_step.flops = float(cost.get("flops", 0.0))
     except Exception:
         time_step.flops = 0.0
-    out = step(params, x, jax.random.key(3))
-    jax.block_until_ready(out)
+    # VALIDATED timing (round 3): block_until_ready is a no-op on this
+    # axon backend (scripts/probe_rollout_timing.py), so each dispatch is
+    # CHAINED on the previous loss (inside the jit) to force on-device
+    # serialization, and the final loss is fetched BY VALUE.
+    # Wall = runs*step + one link round-trip (~40 ms), amortized O(1/runs).
+    loss, _ = step(params, x, jax.random.key(3), jnp.float32(0.0))
+    float(loss)  # compile + sync
     t0 = time.perf_counter()
     for i in range(runs):
-        out = step(params, x, jax.random.key(4 + i))
-    jax.block_until_ready(out)
+        loss, _ = step(params, x, jax.random.key(4 + i), loss)
+    float(loss)
     return (time.perf_counter() - t0) / runs
 
 
@@ -82,16 +95,19 @@ def time_sample(impl: str, runs: int) -> float:
     variables = model.init(jax.random.key(1), x[:2, :2], jax.random.key(2))
 
     @jax.jit
-    def rollout(v, x, key):
-        _, preds = model.apply(v, x, 10, 5, key, method="predict")
-        return preds
+    def rollout(v, x, key, chain):
+        _, preds = model.apply(v, x + 0.0 * chain, 10, 5, key,
+                               method="predict")
+        return preds, jnp.mean(preds)
 
-    out = rollout(variables, x, jax.random.key(3))
-    jax.block_until_ready(out)
+    # chained dispatches (in-jit, device scalar) + value fetch — see
+    # time_step's methodology note
+    out, chain = rollout(variables, x, jax.random.key(3), jnp.float32(0.0))
+    float(chain)  # compile + sync
     t0 = time.perf_counter()
     for i in range(runs):
-        out = rollout(variables, x, jax.random.key(4 + i))
-    jax.block_until_ready(out)
+        out, chain = rollout(variables, x, jax.random.key(4 + i), chain)
+    float(chain)
     return (time.perf_counter() - t0) / runs
 
 
