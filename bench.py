@@ -64,8 +64,9 @@ def measure_ours() -> float:
         glow=GlowConfig(L=b["L"], K=b["K"], n_units_affine=b["n_units_affine"],
                         n_units_prior=b["n_units_prior"]),
     )
-    # f32 + XLA fusion measured fastest on v5e for this model (bf16 casts
-    # cost 3x on these small convs; see ops/pallas/fused.py docstring).
+    # f32 + XLA fusion; bf16 compute_dtype re-measured at PARITY with f32
+    # on this rollout (21.7 vs 21.1 ms, scripts/bench_rollout_ab.py) — the
+    # path is op-count-bound, so dtype doesn't move it. f32 stays default.
     model = RFN(cfg, remat=False)
     bs = b["batch_size"]
     x = (
@@ -369,6 +370,10 @@ def main():
                 tflops_per_s=round(tflops, 2) if tflops else None,
                 pct_of_f32_peak=round(100 * tflops / V5E_F32_PEAK_TFLOPS, 1)
                 if tflops else None,
+                note=("BENCH_r01/r02 values (120-170k) are retracted: "
+                      "measured host enqueue rate via a non-blocking "
+                      "block_until_ready, not device compute "
+                      "(docs/PERF.md round-3 correction)"),
                 dispersion=getattr(measure_ours, "dispersion", None),
             )
         ),

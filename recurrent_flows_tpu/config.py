@@ -89,6 +89,16 @@ class GlowConfig:
     # every scale (docs/PERF.md); flows.modules.conv2d_im2col remains as
     # an internal utility for microbenches and kernel validation.
     coupling_impl: str = "auto"
+    # compute dtype for the coupling NN convs only ({None, 'bfloat16'}):
+    # halves the HBM bytes of the flow's widest tensors (the 256-unit
+    # hidden activations) while all logdet/affine math stays f32 — the
+    # bijection remains exactly invertible (the bf16 net is deterministic).
+    # Measured on v5e: scripts/bench_prodstep.py / docs/PERF.md.
+    coupling_dtype: str | None = None
+    # norm inside the coupling NN's convs (reference Conv2dNorm default);
+    # 'actnorm' matches the reference. Used by perf experiments to bound
+    # the elementwise-epilogue cost of the coupling norm.
+    coupling_norm: str = "actnorm"
 
 
 # --------------------------------------------------------------------------

@@ -65,6 +65,7 @@ class GlowStep(nn.Module):
         return (
             cfg.flow_norm == "actnorm"
             and cfg.lu_decomposed
+            and getattr(cfg, "coupling_dtype", None) is None  # kernel is f32
             # the kernel's coupling net hardcodes relu; a leakyrelu config
             # must fall back to the module path or it would silently compute
             # a different function than the checkpoint was trained with
@@ -163,7 +164,11 @@ class GlowStep(nn.Module):
             hidden_units=cfg.n_units_affine,
             non_lin=cfg.non_lin,
             clamp_type=cfg.clamp_type,
+            norm=getattr(cfg, "coupling_norm", "actnorm"),
             impl=impl,
+            net_dtype=(jnp.bfloat16
+                       if getattr(cfg, "coupling_dtype", None) == "bfloat16"
+                       else None),
             name="affine",
         )
         if not reverse:

@@ -32,27 +32,38 @@ class ActNorm(nn.Module):
 
     num_channels: int
 
-    @nn.compact
+    def setup(self):
+        # setup-style (not compact) so parents can read bias/logs for the
+        # conv-weight fold (Conv2dNorm) without running the elementwise op
+        z = nn.initializers.zeros
+        self.bias = self.param("bias", z, (self.num_channels,))
+        self.logs = self.param("logs", z, (self.num_channels,))
+
     def __call__(self, x, logdet=None, reverse: bool = False, ddi: bool = False):
-        c = self.num_channels
-        bias = self.param("bias", nn.initializers.zeros, (c,))
-        logs = self.param("logs", nn.initializers.zeros, (c,))
+        bias, logs = self.bias, self.logs
         if ddi:
-            # ddof=1 to match torch.std (glow_modules.py:28)
-            mean = jnp.mean(x, axis=(0, 1, 2))
-            std = jnp.std(x, axis=(0, 1, 2), ddof=1)
+            # ddof=1 to match torch.std (glow_modules.py:28); stats in f32
+            # even when x is a bf16 coupling-net activation, so sown DDI
+            # values (-> params) are always f32
+            xf = x.astype(jnp.float32)
+            mean = jnp.mean(xf, axis=(0, 1, 2))
+            std = jnp.std(xf, axis=(0, 1, 2), ddof=1)
             bias = -mean
             logs = jnp.log(1.0 / (std + 1e-6))
             self.sow("ddi", "bias", bias, reduce_fn=lambda a, b: b, init_fn=lambda: None)
             self.sow("ddi", "logs", logs, reduce_fn=lambda a, b: b, init_fn=lambda: None)
         dims = x.shape[1] * x.shape[2]
+        # logdet always in f32 (param-only); the y-path computes in x.dtype
+        # so a bf16 coupling net (GlowConfig.coupling_dtype) stays bf16
+        # through its inner actnorms instead of promoting back to f32
         dlogdet = jnp.sum(logs) * dims
+        yb, yl = bias.astype(x.dtype), logs.astype(x.dtype)
         if not reverse:
-            y = (x + bias) * jnp.exp(logs)
+            y = (x + yb) * jnp.exp(yl)
             if logdet is not None:
                 logdet = logdet + dlogdet
         else:
-            y = x * jnp.exp(-logs) - bias
+            y = x * jnp.exp(-yl) - yb
             if logdet is not None:
                 logdet = logdet - dlogdet
         return y, logdet
@@ -151,10 +162,13 @@ class Conv2dZeros(nn.Module):
     out_channels: int
     kernel: int = 3
     impl: str = "conv"  # {conv, im2col}
+    dtype: object = None  # compute dtype (params stay f32), e.g. bf16
 
     @nn.compact
     def __call__(self, x):
         p = (self.kernel - 1) // 2
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
         if self.impl == "im2col":
             kern, bias = _ConvParams(self.out_channels, self.kernel,
                                      nn.initializers.zeros, name="conv")(
@@ -167,9 +181,12 @@ class Conv2dZeros(nn.Module):
                 padding=((p, p), (p, p)),
                 kernel_init=nn.initializers.zeros,
                 bias_init=nn.initializers.zeros,
+                dtype=self.dtype,
                 name="conv",
             )(x)
         logs = self.param("logs", nn.initializers.zeros, (self.out_channels,))
+        # the f32 gain promotes a bf16 y back to f32 — the flow's affine
+        # parameters and logdet math downstream always run f32
         return y * jnp.exp(logs * 3.0)
 
 
@@ -183,10 +200,34 @@ class Conv2dNorm(nn.Module):
     kernel: int = 3
     norm: str = "actnorm"
     impl: str = "conv"  # {conv, im2col}
+    dtype: object = None  # compute dtype (params stay f32), e.g. bf16
+    # fold the actnorm into the conv weights: (conv(x) + b)*e^logs ==
+    # conv_{W*e^logs}(x) + b*e^logs — exact (up to float reassociation),
+    # and removes a full [rows, out_channels] elementwise mul+add per
+    # layer (fwd AND bwd). The train step is saturated on exactly this
+    # per-element work (docs/PERF.md round-3 decomposition: -25..34% on
+    # the wide flow scales). ddi passes use the unfolded path (ActNorm
+    # must see the raw conv output to compute init stats).
+    fold_actnorm: bool = True
 
     @nn.compact
     def __call__(self, x, ddi: bool = False):
         p = (self.kernel - 1) // 2
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+        if (self.fold_actnorm and self.norm == "actnorm" and not ddi
+                and self.impl == "conv"):
+            kern, _ = _ConvParams(self.out_channels, self.kernel,
+                                  nn.initializers.normal(stddev=0.05),
+                                  use_bias=False, name="conv")(x.shape[-1])
+            an = ActNorm(self.out_channels, name="actnorm")
+            g = jnp.exp(an.logs)
+            kern = (kern * g).astype(x.dtype)
+            b = (an.bias * g).astype(x.dtype)
+            return jax.lax.conv_general_dilated(
+                x, kern, (1, 1), ((p, p), (p, p)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            ) + b
         if self.impl == "im2col":
             kern, bias = _ConvParams(self.out_channels, self.kernel,
                                      nn.initializers.normal(stddev=0.05),
@@ -201,6 +242,7 @@ class Conv2dNorm(nn.Module):
                 use_bias=(self.norm != "actnorm"),
                 kernel_init=nn.initializers.normal(stddev=0.05),
                 bias_init=nn.initializers.zeros,
+                dtype=self.dtype,
                 name="conv",
             )(x)
         if self.norm == "actnorm":
@@ -289,6 +331,11 @@ class AffineCoupling(nn.Module):
     clamp_type: str = "realnvp"
     norm: str = "actnorm"  # norm used inside the coupling net convs
     impl: str = "conv"  # {conv, im2col, auto}
+    # compute dtype for the coupling NN only (e.g. jnp.bfloat16). The net is
+    # a free-form conditioner, so reduced precision there changes the
+    # bijection deterministically (f/g stay exact inverses; logdet math and
+    # the affine transform itself always run f32). GlowConfig.coupling_dtype.
+    net_dtype: object = None
 
     @nn.compact
     def __call__(self, x, condition, logdet=None, reverse: bool = False, ddi: bool = False):
@@ -303,13 +350,16 @@ class AffineCoupling(nn.Module):
             # slower than conv across 16x16..2x2).
             impl = "conv"
         h = jnp.concatenate([z1, condition], axis=-1)
+        nd = self.net_dtype
         h = Conv2dNorm(self.hidden_units, 3, norm=self.norm, impl=impl,
-                       name="net0")(h, ddi=ddi)
+                       dtype=nd, name="net0")(h, ddi=ddi)
         h = act(h, self.non_lin)
         h = Conv2dNorm(self.hidden_units, 1, norm=self.norm, impl=impl,
-                       name="net1")(h, ddi=ddi)
+                       dtype=nd, name="net1")(h, ddi=ddi)
         h = act(h, self.non_lin)
-        out = Conv2dZeros(self.x_channels, impl=impl, name="net2")(h)
+        out = Conv2dZeros(self.x_channels, impl=impl, dtype=nd,
+                          name="net2")(h)
+        out = out.astype(jnp.float32)
         shift, log_scale = split_feature(out, "cross")
 
         if self.clamp_type == "glow":

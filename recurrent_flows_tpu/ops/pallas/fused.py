@@ -36,13 +36,13 @@ except Exception:  # pragma: no cover
 
 
 def pallas_enabled() -> bool:
-    """Opt-in (RFT_PALLAS=1). Measured on a v5e chip (RFN KTH-bench rollout,
-    async-dispatch, 20 runs): XLA's own elementwise fusion beats these
-    kernels for the coupling/gate ops (151.6k f/s jnp vs 135.0k f/s pallas)
-    because the ops are small and memory-bound and the pallas_call boundary
-    blocks XLA from fusing them into the adjacent convs. The kernels remain
-    available for larger-shape regimes and as the basis for a future fully
-    fused GlowStep."""
+    """Opt-in (RFT_PALLAS=1). The original async-dispatch comparison
+    (151.6k vs 135.0k f/s) was produced with a method round 3 proved
+    measures enqueue rate, not compute (docs/PERF.md round-3 correction),
+    so treat it as directional only: pallas_call boundaries do block XLA
+    from fusing these small memory-bound ops into the adjacent convs. The
+    kernels remain available for larger-shape regimes and as the basis
+    for the fully fused GlowStep (ops/pallas/glowstep.py)."""
     env = os.environ.get("RFT_PALLAS")
     if env is not None:
         return env not in ("0", "false", "")

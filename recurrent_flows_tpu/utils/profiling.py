@@ -26,9 +26,13 @@ class StepTimer:
         self._t0 = time.perf_counter()
 
     def stop(self, result=None):
-        """Stop the clock; pass a jax array to block on for accurate timing."""
+        """Stop the clock; pass a jax array to sync on for accurate timing.
+
+        Synced with a VALUE fetch, not block_until_ready — on the axon
+        remote-TPU backend block_until_ready is a no-op (docs/PERF.md
+        round-3 measurement correction)."""
         if result is not None:
-            jax.block_until_ready(result)
+            jax.device_get(result)
         if self._t0 is not None:
             self.times.append(time.perf_counter() - self._t0)
             self._t0 = None

@@ -40,8 +40,10 @@ BT = int(__import__("os").environ.get("GS_BT", "270"))
 K = 10
 
 
-def time_stack(h, c, cc, *, impl: str, n_runs: int = 30, with_grad: bool = True):
-    cfg = GlowConfig(L=1, K=K, n_units_affine=256, coupling_impl=impl)
+def time_stack(h, c, cc, *, impl: str, n_runs: int = 30, with_grad: bool = True,
+               coupling_norm: str = "actnorm"):
+    cfg = GlowConfig(L=1, K=K, n_units_affine=256, coupling_impl=impl,
+                     coupling_norm=coupling_norm)
     steps = [GlowStep(c, cfg, spatial_shape=(h, h, c)) for _ in range(K)]
     x = jax.random.normal(jax.random.key(0), (BT, h, h, c))
     cond = jax.random.normal(jax.random.key(1), (BT, h, h, cc))
@@ -62,17 +64,25 @@ def time_stack(h, c, cc, *, impl: str, n_runs: int = 30, with_grad: bool = True)
             z, logdet = stack(params_list, x)
             return jnp.sum(z ** 2) - jnp.sum(logdet)
 
-        fn = jax.jit(jax.grad(loss))
+        raw = jax.grad(loss)
     else:
-        fn = jax.jit(stack)
+        raw = stack
+
+    # VALIDATED timing (docs/PERF.md round-3 correction): chain each
+    # dispatch on the previous result inside the jit and fetch the final
+    # scalar by value — block_until_ready is a no-op on this backend.
+    @jax.jit
+    def fn(chain, params_list, x):
+        out = raw(params_list, x + 0.0 * chain)
+        return sum(jnp.sum(l) for l in jax.tree_util.tree_leaves(out))
 
     params_list = [v["params"] for v in variables]
-    out = fn(params_list, x)
-    jax.block_until_ready(out)
+    chain = fn(jnp.float32(0.0), params_list, x)
+    float(chain)  # compile + sync
     t0 = time.perf_counter()
     for _ in range(n_runs):
-        out = fn(params_list, x)
-    jax.block_until_ready(out)
+        chain = fn(chain, params_list, x)
+    float(chain)
     return (time.perf_counter() - t0) / n_runs
 
 
@@ -81,6 +91,7 @@ def main():
     ap.add_argument("--impls", default="conv")
     ap.add_argument("--runs", type=int, default=30)
     ap.add_argument("--fwd_only", action="store_true")
+    ap.add_argument("--coupling_norm", default="actnorm")
     args = ap.parse_args()
     results = {}
     for impl in args.impls.split(","):
@@ -89,7 +100,8 @@ def main():
             if impl in ("im2col", "fused") and h * h > 256:
                 continue  # im2col is a small-spatial lever only ('auto' gate)
             dt = time_stack(h, c, cc, impl=impl, n_runs=args.runs,
-                            with_grad=not args.fwd_only)
+                            with_grad=not args.fwd_only,
+                            coupling_norm=args.coupling_norm)
             per_scale[f"{h}x{h}xc{c}"] = round(dt * 1000, 3)
         per_scale["total_ms"] = round(sum(per_scale.values()), 3)
         results[impl] = per_scale

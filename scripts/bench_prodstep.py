@@ -27,13 +27,16 @@ from recurrent_flows_tpu.models import RFN
 from recurrent_flows_tpu.utils.compilation_cache import enable as _enable_cache
 
 
-def time_step(impl: str, runs: int, batch_flow: bool = False) -> float:
+def time_step(impl: str, runs: int, batch_flow: bool = False,
+              batch: int | None = None,
+              coupling_dtype: str | None = None) -> float:
     cfg, tcfg = rfn_mnist_production()
     cfg = dataclasses.replace(
-        cfg, glow=dataclasses.replace(cfg.glow, coupling_impl=impl)
+        cfg, glow=dataclasses.replace(cfg.glow, coupling_impl=impl,
+                                      coupling_dtype=coupling_dtype)
     )
     model = RFN(cfg, batch_flow=batch_flow)
-    b, t = tcfg.batch_size, tcfg.n_frames
+    b, t = batch or tcfg.batch_size, tcfg.n_frames
     x = jax.random.uniform(
         jax.random.key(0), (b, t, cfg.image_size, cfg.image_size, 1)
     ) - 0.5
@@ -116,6 +119,11 @@ def main():
     ap.add_argument("--impls", default="conv,auto")
     ap.add_argument("--runs", type=int, default=20)
     ap.add_argument("--batch_flow", action="store_true")
+    ap.add_argument("--batch", type=int, default=None,
+                    help="override the per-chip batch (default: thesis B=30)")
+    ap.add_argument("--coupling_dtype", default=None,
+                    choices=[None, "bfloat16"],
+                    help="coupling-NN compute dtype (GlowConfig.coupling_dtype)")
     ap.add_argument("--mode", default="loss", choices=["loss", "sample"])
     args = ap.parse_args()
     _enable_cache()
@@ -128,12 +136,18 @@ def main():
                 "pred_frames_per_s": round(30 * 10 / dt, 1),
             }), flush=True)
         else:
-            dt = time_step(impl, args.runs, batch_flow=args.batch_flow)
+            dt = time_step(impl, args.runs, batch_flow=args.batch_flow,
+                           batch=args.batch,
+                           coupling_dtype=args.coupling_dtype)
+            bsz = args.batch or 30
             print(json.dumps({
                 "impl": impl,
                 "batch_flow": args.batch_flow,
+                "batch": bsz,
+                "coupling_dtype": args.coupling_dtype,
                 "loss_grad_ms": round(dt * 1000, 2),
                 "steps_per_s": round(1.0 / dt, 2),
+                "train_frames_per_s": round(bsz * 9 / dt, 1),
             }), flush=True)
 
 

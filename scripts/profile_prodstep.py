@@ -50,34 +50,52 @@ def _chainable(fn):
     @jax.jit
     def g(chain, p, x, *rest):
         out = fn(p, x + 0.0 * chain, *rest)
-        lead = jnp.ravel(jax.tree_util.tree_leaves(out)[0])[0]
-        return lead
+        # reduce over EVERY output leaf: returning only the loss lets XLA
+        # dead-code-eliminate the whole backward (observed: all grad
+        # variants collapsed to the 24 ms forward)
+        return sum(jnp.sum(l) for l in jax.tree_util.tree_leaves(out))
 
     return g
 
 
 def _time_and_gflop(name, fn, args, runs):
     g = _chainable(fn)
-    chain = g(jnp.float32(0.0), *args)
-    gflop = None
+    gflop = gbytes = None
     try:
         cost = g.lower(jnp.float32(0.0), *args).compile().cost_analysis()
         gflop = round(float(cost.get("flops", 0.0)) / 1e9, 1)
+        gbytes = round(float(cost.get("bytes accessed", 0.0)) / 1e9, 2)
     except Exception:
         pass
+    chain = g(jnp.float32(0.0), *args)
     float(chain)  # compile + sync
     t0 = time.perf_counter()
     for _ in range(runs):
         chain = g(chain, *args)
     float(chain)
     ms = (time.perf_counter() - t0) / runs * 1000.0
-    _report(name, ms, gflop)
+    _report(name, ms, gflop, gbytes)
 
 
-def _report(name, ms, gflop):
+V5E_F32_PEAK_TFLOPS = 98.5
+V5E_HBM_GBPS = 819.0
+
+
+def _report(name, ms, gflop, gbytes=None):
+    """ms + FLOPs + bytes-accessed -> achieved TFLOP/s, achieved GB/s, and
+    the roofline-limited time for this op mix (max of MXU time and HBM
+    time) so 'is this at speed of light?' is answered per variant."""
     tf = round(gflop / ms, 1) if (gflop and ms) else None
-    print(json.dumps({"variant": name, "ms": round(ms, 2),
-                      "gflop": gflop, "tflops_per_s": tf}), flush=True)
+    row = {"variant": name, "ms": round(ms, 2), "gflop": gflop,
+           "tflops_per_s": tf}
+    if gbytes:
+        row["gbytes_accessed"] = gbytes
+        row["achieved_gbps"] = round(gbytes / ms * 1000, 0)
+        roof_ms = max((gflop or 0) / V5E_F32_PEAK_TFLOPS,
+                      gbytes / (V5E_HBM_GBPS / 1000.0))
+        row["roofline_ms"] = round(roof_ms, 2)
+        row["pct_of_roofline"] = round(100 * roof_ms / ms, 1) if ms else None
+    print(json.dumps(row), flush=True)
 
 
 def main():
@@ -146,8 +164,11 @@ def main():
             vv = {"params": p, "consts": consts}
             _, f_last = model.apply(vv, x, method="_features")
             hs, _, _ = model.apply(vv, f_last, b, method="_unroll_h")
-            as_ = model.apply(vv, hs, f_last, b, method="_unroll_a")
-            return jnp.sum(hs) + jnp.sum(as_)
+            s = jnp.sum(hs)
+            if cfg.enable_smoothing:
+                as_ = model.apply(vv, hs, f_last, b, method="_unroll_a")
+                s = s + jnp.sum(as_)
+            return s
         _time_and_gflop("features + h/a ConvLSTM unrolls fwd+grad",
                         jax.value_and_grad(lstm_loss), (params, x),
                         args.runs)

@@ -177,3 +177,33 @@ def test_listglow_ddi_normalizes_first_actnorm():
     np.testing.assert_allclose(jnp.std(out, axis=(0, 1, 2), ddof=1), 1.0, atol=1e-2)
     # and params actually changed
     assert not np.allclose(p["bias"], v["params"]["scale0_step0"]["norm"]["bias"])
+
+
+def test_listglow_coupling_dtype_bf16():
+    """coupling_dtype='bfloat16': the coupling NN computes in bf16 but the
+    bijection stays exactly invertible (the bf16 net is deterministic) and
+    all params remain f32 (GlowConfig.coupling_dtype)."""
+    cfg = GlowConfig(L=2, K=2, n_units_affine=8, n_units_prior=8, n_bits=8,
+                     coupling_dtype="bfloat16")
+    m = ListGlow(4, 8, cfg)
+    x = jax.random.normal(jax.random.key(0), (B, 8, 8, 4)) * 0.1
+    conds = [
+        jax.random.normal(jax.random.key(10 + l),
+                          (B, 8 // 2 ** (l + 1), 8 // 2 ** (l + 1), COND_C))
+        for l in range(2)
+    ]
+    base = jax.random.normal(jax.random.key(20), (B, 2, 2, 5))
+    v = m.init(jax.random.key(1), x, conds, base, jax.random.key(2))
+    # every param stays f32 (bf16 is compute-only)
+    for leaf in jax.tree_util.tree_leaves(v["params"]):
+        assert leaf.dtype == jnp.float32
+    z, ld = m.apply(v, x, conds, jnp.zeros(B), method=ListGlow.f)
+    assert z.dtype == jnp.float32 and jnp.all(jnp.isfinite(ld))
+    x2 = m.apply(v, z, conds, jax.random.key(3), method=ListGlow.g)
+    z2, _ = m.apply(v, x2, conds, jnp.zeros(B), method=ListGlow.f)
+    # exact-inverse property is dtype-independent; tolerance covers the
+    # f->g->f roundtrip arithmetic only
+    np.testing.assert_allclose(z, z2, atol=2e-3)
+    _, nll = m.apply(v, x, conds, base, jax.random.key(5),
+                     method=ListGlow.log_prob)
+    assert jnp.all(jnp.isfinite(nll))
