@@ -207,3 +207,25 @@ def test_listglow_coupling_dtype_bf16():
     _, nll = m.apply(v, x, conds, base, jax.random.key(5),
                      method=ListGlow.log_prob)
     assert jnp.all(jnp.isfinite(nll))
+
+
+def test_conv2dnorm_fold_actnorm_equivalence():
+    """fold_actnorm=True computes the same function as the unfolded
+    conv->actnorm path (exact up to float reassociation) with an
+    identical param tree."""
+    from recurrent_flows_tpu.flows.modules import Conv2dNorm
+
+    x = jax.random.normal(jax.random.key(0), (3, 6, 6, 5))
+    folded = Conv2dNorm(8, 3, norm="actnorm", fold_actnorm=True)
+    plain = Conv2dNorm(8, 3, norm="actnorm", fold_actnorm=False)
+    v = folded.init(jax.random.key(1), x)
+    # same tree either way (checkpoint compatibility)
+    v2 = plain.init(jax.random.key(1), x)
+    assert jax.tree_util.tree_structure(v) == jax.tree_util.tree_structure(v2)
+    # randomize actnorm params so the fold actually has something to fold
+    p = jax.tree_util.tree_map(lambda a: a, v["params"])
+    p["actnorm"]["logs"] = jax.random.normal(jax.random.key(2), (8,)) * 0.3
+    p["actnorm"]["bias"] = jax.random.normal(jax.random.key(3), (8,)) * 0.5
+    y_fold = folded.apply({"params": p}, x)
+    y_plain = plain.apply({"params": p}, x)
+    np.testing.assert_allclose(y_fold, y_plain, atol=1e-5, rtol=1e-5)
