@@ -172,8 +172,17 @@ class GlowStep(nn.Module):
             name="affine",
         )
         if not reverse:
-            x, logdet = norm(x, logdet, reverse=False, **norm_kwargs)
-            x, logdet = invconv(x, logdet, reverse=False)
+            if cfg.flow_norm == "actnorm" and not ddi:
+                # fold the step actnorm into the 1x1 matmul (forward/training
+                # path only — exact, see InvConv docstring). Reading the
+                # setup-style params registers them, keeping the tree
+                # identical to the unfolded/reverse path. DDI must run the
+                # real actnorm to normalize + sow its init statistics.
+                x, logdet = invconv(x, logdet, reverse=False,
+                                    fold_bias=norm.bias, fold_logs=norm.logs)
+            else:
+                x, logdet = norm(x, logdet, reverse=False, **norm_kwargs)
+                x, logdet = invconv(x, logdet, reverse=False)
             x, logdet = affine(x, condition, logdet, reverse=False, ddi=ddi)
         else:
             x, logdet = affine(x, condition, logdet, reverse=True)

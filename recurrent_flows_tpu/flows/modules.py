@@ -163,12 +163,30 @@ class Conv2dZeros(nn.Module):
     kernel: int = 3
     impl: str = "conv"  # {conv, im2col}
     dtype: object = None  # compute dtype (params stay f32), e.g. bf16
+    # fold the output gain into the conv weights: conv_W(x, b)·e^{3·logs}
+    # == conv_{W·g}(x) + b·g with g = e^{3·logs} — exact up to float
+    # reassociation, removing a [rows, out_channels] elementwise pass per
+    # coupling output layer in both directions (same trick as
+    # Conv2dNorm.fold_actnorm; docs/PERF.md round-3 decomposition).
+    fold_gain: bool = True
 
     @nn.compact
     def __call__(self, x):
         p = (self.kernel - 1) // 2
         if self.dtype is not None:
             x = x.astype(self.dtype)
+        logs = self.param("logs", nn.initializers.zeros, (self.out_channels,))
+        # (bf16 keeps the unfolded path: its f32 output gain doubles as the
+        # promotion back to f32, and the knob is documented losing anyway)
+        if self.fold_gain and self.impl == "conv" and self.dtype is None:
+            kern, bias = _ConvParams(self.out_channels, self.kernel,
+                                     nn.initializers.zeros, name="conv")(
+                x.shape[-1])
+            g = jnp.exp(logs * 3.0)
+            return jax.lax.conv_general_dilated(
+                x, kern * g, (1, 1), ((p, p), (p, p)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            ) + bias * g
         if self.impl == "im2col":
             kern, bias = _ConvParams(self.out_channels, self.kernel,
                                      nn.initializers.zeros, name="conv")(
@@ -184,7 +202,6 @@ class Conv2dZeros(nn.Module):
                 dtype=self.dtype,
                 name="conv",
             )(x)
-        logs = self.param("logs", nn.initializers.zeros, (self.out_channels,))
         # the f32 gain promotes a bf16 y back to f32 — the flow's affine
         # parameters and logdet math downstream always run f32
         return y * jnp.exp(logs * 3.0)
@@ -269,9 +286,18 @@ class InvConv(nn.Module):
     lu_decomposed: bool = True
 
     @nn.compact
-    def __call__(self, x, logdet=None, reverse: bool = False):
+    def __call__(self, x, logdet=None, reverse: bool = False,
+                 fold_bias=None, fold_logs=None):
+        """When ``fold_bias``/``fold_logs`` are given (forward only), the
+        preceding actnorm ``(x + b)·e^s`` is folded into the 1x1 matmul:
+        ``((x + b)·e^s)·Wᵀ == x·(W·diag(e^s))ᵀ + (b·e^s)·Wᵀ`` — exact up to
+        float reassociation, removing the actnorm's elementwise pass over
+        [rows, C] (and its remat replay + backward) per GlowStep. The
+        actnorm logdet ``sum(s)·hw`` is added here from the params.
+        """
         c = self.num_channels
         hw = x.shape[1] * x.shape[2]
+        assert fold_bias is None or not reverse, "fold is forward-only"
         if not self.lu_decomposed:
             w = self.param(
                 "weight", lambda k, s: nn.initializers.orthogonal()(k, s), (c, c)
@@ -311,7 +337,13 @@ class InvConv(nn.Module):
                 weight = p @ l @ u
 
         # 1x1 conv in NHWC == right-matmul by weight^T (maps straight to MXU).
-        z = jnp.einsum("bhwc,dc->bhwd", x, weight)
+        if fold_bias is not None:
+            e_s = jnp.exp(fold_logs)
+            shift = (fold_bias * e_s) @ weight.T  # shift_d = Σ_c b_c e^{s_c} W[d,c]
+            z = jnp.einsum("bhwc,dc->bhwd", x, weight * e_s[None, :]) + shift
+            dlogdet = dlogdet + jnp.sum(fold_logs) * hw
+        else:
+            z = jnp.einsum("bhwc,dc->bhwd", x, weight)
         if logdet is not None:
             logdet = logdet - dlogdet if reverse else logdet + dlogdet
         return z, logdet

@@ -229,3 +229,67 @@ def test_conv2dnorm_fold_actnorm_equivalence():
     y_fold = folded.apply({"params": p}, x)
     y_plain = plain.apply({"params": p}, x)
     np.testing.assert_allclose(y_fold, y_plain, atol=1e-5, rtol=1e-5)
+
+
+def test_conv2dzeros_fold_gain_equivalence():
+    """fold_gain=True: conv_{W·g}(x)+b·g == (conv_W(x)+b)·e^{3·logs},
+    exact up to float reassociation, identical param tree."""
+    from recurrent_flows_tpu.flows.modules import Conv2dZeros
+
+    x = jax.random.normal(jax.random.key(0), (3, 6, 6, 5))
+    folded = Conv2dZeros(8, 3, fold_gain=True)
+    plain = Conv2dZeros(8, 3, fold_gain=False)
+    v = folded.init(jax.random.key(1), x)
+    v2 = plain.init(jax.random.key(1), x)
+    assert jax.tree_util.tree_structure(v) == jax.tree_util.tree_structure(v2)
+    # zeros-init conv outputs 0 regardless — randomize everything
+    p = dict(v["params"])
+    p["conv"] = dict(kernel=jax.random.normal(jax.random.key(2), (3, 3, 5, 8)) * 0.1,
+                     bias=jax.random.normal(jax.random.key(3), (8,)) * 0.2)
+    p["logs"] = jax.random.normal(jax.random.key(4), (8,)) * 0.3
+    y_fold = folded.apply({"params": p}, x)
+    y_plain = plain.apply({"params": p}, x)
+    np.testing.assert_allclose(y_fold, y_plain, atol=1e-5, rtol=1e-5)
+
+
+def test_invconv_actnorm_fold_equivalence():
+    """InvConv(fold_bias/fold_logs) == ActNorm then InvConv, including the
+    combined logdet, for both LU and dense parameterizations."""
+    from recurrent_flows_tpu.flows.modules import ActNorm, InvConv
+
+    x = jax.random.normal(jax.random.key(0), (4, 5, 5, 6))
+    bias = jax.random.normal(jax.random.key(1), (6,)) * 0.5
+    logs = jax.random.normal(jax.random.key(2), (6,)) * 0.3
+    for lu in (True, False):
+        inv = InvConv(6, lu_decomposed=lu)
+        v = inv.init(jax.random.key(3), x)
+        an = ActNorm(6)
+        va = {"params": {"bias": bias, "logs": logs}}
+        y_ref, ld_ref = an.apply(va, x, jnp.zeros(4))
+        y_ref, ld_ref = inv.apply(v, y_ref, ld_ref)
+        y_fold, ld_fold = inv.apply(v, x, jnp.zeros(4),
+                                    fold_bias=bias, fold_logs=logs)
+        np.testing.assert_allclose(y_fold, y_ref, atol=2e-5, rtol=2e-5)
+        np.testing.assert_allclose(ld_fold, ld_ref, atol=1e-3, rtol=1e-5)
+
+
+def test_glowstep_forward_fold_matches_reverse_inverse():
+    """With the forward-path folds active, GlowStep forward followed by
+    the (unfolded) reverse path is still the exact identity, and the
+    forward logdet matches the reverse logdet."""
+    from recurrent_flows_tpu.flows.glow import GlowStep
+
+    cfg = GlowConfig(L=1, K=1, n_units_affine=32)
+    x = jax.random.normal(jax.random.key(0), (2, 8, 8, 4))
+    cond = jax.random.normal(jax.random.key(1), (2, 8, 8, 3))
+    step = GlowStep(4, cfg)
+    v = step.init(jax.random.key(2), x, cond, jnp.zeros(2))
+    # randomize norm params so the fold is non-trivial
+    p = dict(v["params"])
+    p["norm"] = dict(bias=jax.random.normal(jax.random.key(3), (4,)) * 0.4,
+                     logs=jax.random.normal(jax.random.key(4), (4,)) * 0.3)
+    var = {"params": p, **{k: v[k] for k in v if k != "params"}}
+    y, ld = step.apply(var, x, cond, jnp.zeros(2))
+    x2, ld2 = step.apply(var, y, cond, ld, reverse=True)
+    np.testing.assert_allclose(x2, x, atol=2e-5, rtol=2e-5)
+    np.testing.assert_allclose(ld2, jnp.zeros(2), atol=1e-3)
