@@ -186,8 +186,14 @@ class GlowStep(nn.Module):
             x, logdet = affine(x, condition, logdet, reverse=False, ddi=ddi)
         else:
             x, logdet = affine(x, condition, logdet, reverse=True)
-            x, logdet = invconv(x, logdet, reverse=True)
-            x, logdet = norm(x, logdet, reverse=True, **norm_kwargs)
+            if cfg.flow_norm == "actnorm" and not ddi:
+                # inverse actnorm folded into the inverse 1x1 (row-scaled
+                # solve result + constant shift — see InvConv docstring)
+                x, logdet = invconv(x, logdet, reverse=True,
+                                    fold_bias=norm.bias, fold_logs=norm.logs)
+            else:
+                x, logdet = invconv(x, logdet, reverse=True)
+                x, logdet = norm(x, logdet, reverse=True, **norm_kwargs)
         return x, logdet
 
 

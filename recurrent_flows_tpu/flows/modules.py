@@ -288,16 +288,20 @@ class InvConv(nn.Module):
     @nn.compact
     def __call__(self, x, logdet=None, reverse: bool = False,
                  fold_bias=None, fold_logs=None):
-        """When ``fold_bias``/``fold_logs`` are given (forward only), the
-        preceding actnorm ``(x + b)·e^s`` is folded into the 1x1 matmul:
-        ``((x + b)·e^s)·Wᵀ == x·(W·diag(e^s))ᵀ + (b·e^s)·Wᵀ`` — exact up to
-        float reassociation, removing the actnorm's elementwise pass over
-        [rows, C] (and its remat replay + backward) per GlowStep. The
-        actnorm logdet ``sum(s)·hw`` is added here from the params.
+        """When ``fold_bias``/``fold_logs`` are given, the adjacent actnorm
+        is folded into the 1x1 matmul — exact up to float reassociation,
+        removing the actnorm's elementwise pass over [rows, C] (and its
+        remat replay + backward) per GlowStep:
+
+        - forward (actnorm THEN 1x1): ``((x + b)·e^s)·Wᵀ ==
+          x·(W·diag(e^s))ᵀ + (b·e^s)·Wᵀ`` (scale W's input columns).
+        - reverse (inverse 1x1 THEN inverse actnorm): ``(y·W⁻ᵀ)·e^{-s} - b
+          == y·(diag(e^{-s})·W⁻¹)ᵀ - b`` (scale W⁻¹'s output rows).
+
+        The actnorm logdet ``sum(s)·hw`` is accounted here from the params.
         """
         c = self.num_channels
         hw = x.shape[1] * x.shape[2]
-        assert fold_bias is None or not reverse, "fold is forward-only"
         if not self.lu_decomposed:
             w = self.param(
                 "weight", lambda k, s: nn.initializers.orthogonal()(k, s), (c, c)
@@ -337,10 +341,16 @@ class InvConv(nn.Module):
                 weight = p @ l @ u
 
         # 1x1 conv in NHWC == right-matmul by weight^T (maps straight to MXU).
-        if fold_bias is not None:
+        if fold_bias is not None and not reverse:
             e_s = jnp.exp(fold_logs)
             shift = (fold_bias * e_s) @ weight.T  # shift_d = Σ_c b_c e^{s_c} W[d,c]
             z = jnp.einsum("bhwc,dc->bhwd", x, weight * e_s[None, :]) + shift
+            dlogdet = dlogdet + jnp.sum(fold_logs) * hw
+        elif fold_bias is not None:
+            # weight is already W⁻¹ here; x_d = e^{-s_d}(y·W⁻ᵀ)_d - b_d
+            z = jnp.einsum(
+                "bhwc,dc->bhwd", x, weight * jnp.exp(-fold_logs)[:, None]
+            ) - fold_bias
             dlogdet = dlogdet + jnp.sum(fold_logs) * hw
         else:
             z = jnp.einsum("bhwc,dc->bhwd", x, weight)

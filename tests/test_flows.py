@@ -293,3 +293,24 @@ def test_glowstep_forward_fold_matches_reverse_inverse():
     x2, ld2 = step.apply(var, y, cond, ld, reverse=True)
     np.testing.assert_allclose(x2, x, atol=2e-5, rtol=2e-5)
     np.testing.assert_allclose(ld2, jnp.zeros(2), atol=1e-3)
+
+
+def test_invconv_actnorm_fold_reverse_equivalence():
+    """Reverse fold: InvConv(reverse, fold) == InvConv(reverse) then
+    ActNorm(reverse), including logdets, for both parameterizations."""
+    from recurrent_flows_tpu.flows.modules import ActNorm, InvConv
+
+    y = jax.random.normal(jax.random.key(0), (4, 5, 5, 6))
+    bias = jax.random.normal(jax.random.key(1), (6,)) * 0.5
+    logs = jax.random.normal(jax.random.key(2), (6,)) * 0.3
+    for lu in (True, False):
+        inv = InvConv(6, lu_decomposed=lu)
+        v = inv.init(jax.random.key(3), y)
+        an = ActNorm(6)
+        va = {"params": {"bias": bias, "logs": logs}}
+        x_ref, ld_ref = inv.apply(v, y, jnp.zeros(4), reverse=True)
+        x_ref, ld_ref = an.apply(va, x_ref, ld_ref, reverse=True)
+        x_fold, ld_fold = inv.apply(v, y, jnp.zeros(4), reverse=True,
+                                    fold_bias=bias, fold_logs=logs)
+        np.testing.assert_allclose(x_fold, x_ref, atol=2e-5, rtol=2e-5)
+        np.testing.assert_allclose(ld_fold, ld_ref, atol=1e-3, rtol=1e-5)
