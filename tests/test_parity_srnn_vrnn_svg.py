@@ -382,8 +382,11 @@ def test_training_trajectory_parity_dense(kind):
     ours, theirs = np.array(res["ours_loss"]), np.array(res["ref_loss"])
     assert ours[-15:].mean() < ours[:5].mean(), "ours did not learn"
     assert theirs[-15:].mean() < theirs[:5].mean(), "reference did not learn"
-    rel = np.abs(ours[:4] - theirs[:4]) / np.abs(theirs[:4])
-    assert rel.max() < 0.03, (ours[:4], theirs[:4])
+    # steps 0..2 track to <0.08% measured; by step 3 the compounding f32
+    # update noise already reaches ~3% run-to-run (measured 0.4%..3.01%
+    # across reruns), so step 3+ carries no deterministic claim
+    rel = np.abs(ours[:3] - theirs[:3]) / np.abs(theirs[:3])
+    assert rel.max() < 0.01, (ours[:3], theirs[:3])
 
 
 @pytest.mark.slow
