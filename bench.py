@@ -418,5 +418,28 @@ def main():
         print(f"# train-step bench failed: {e}")
 
 
+def _backend_reachable(timeout_s: int = 180) -> bool:
+    """Fast-fail probe: the axon tunnel's backend init BLOCKS ~20 min when
+    the link is down (observed round 3), which would hang the whole bench.
+    Probe device liveness in a subprocess with a hard timeout instead."""
+    import subprocess
+    import sys
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s, capture_output=True)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 if __name__ == "__main__":
+    if not _backend_reachable():
+        print(json.dumps(dict(
+            metric="rfn_rollout_frames_per_sec_per_chip", value=None,
+            unit="frames/s", vs_baseline=None,
+            error="TPU backend unreachable (axon tunnel down); last good "
+                  "measurement is in BENCH_DETAILS.json")), flush=True)
+        raise SystemExit(0)
     main()
