@@ -99,6 +99,12 @@ class GlowConfig:
     # 'actnorm' matches the reference. Used by perf experiments to bound
     # the elementwise-epilogue cost of the coupling norm.
     coupling_norm: str = "actnorm"
+    # weight-fold family (exact algebraic reparametrizations at apply
+    # time, identical param trees — equivalence tests in tests/test_flows):
+    # coupling actnorm -> conv kernels, Conv2dZeros gain -> kernel, and
+    # the step actnorm -> the 1x1 matmul (both directions). Default ON;
+    # the switch exists for in-process A/B measurement and debugging.
+    fold_weights: bool = True
 
 
 # --------------------------------------------------------------------------

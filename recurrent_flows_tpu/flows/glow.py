@@ -169,10 +169,12 @@ class GlowStep(nn.Module):
             net_dtype=(jnp.bfloat16
                        if getattr(cfg, "coupling_dtype", None) == "bfloat16"
                        else None),
+            fold=getattr(cfg, "fold_weights", True),
             name="affine",
         )
+        fold_step = getattr(cfg, "fold_weights", True)
         if not reverse:
-            if cfg.flow_norm == "actnorm" and not ddi:
+            if cfg.flow_norm == "actnorm" and not ddi and fold_step:
                 # fold the step actnorm into the 1x1 matmul (forward/training
                 # path only — exact, see InvConv docstring). Reading the
                 # setup-style params registers them, keeping the tree
@@ -186,7 +188,7 @@ class GlowStep(nn.Module):
             x, logdet = affine(x, condition, logdet, reverse=False, ddi=ddi)
         else:
             x, logdet = affine(x, condition, logdet, reverse=True)
-            if cfg.flow_norm == "actnorm" and not ddi:
+            if cfg.flow_norm == "actnorm" and not ddi and fold_step:
                 # inverse actnorm folded into the inverse 1x1 (row-scaled
                 # solve result + constant shift — see InvConv docstring)
                 x, logdet = invconv(x, logdet, reverse=True,
@@ -229,6 +231,7 @@ class ListGlow(nn.Module):
                         c,
                         make_conditional=cfg.make_conditional,
                         clamp_function=cfg.split2d_act,
+                        fold=getattr(cfg, "fold_weights", True),
                         name=f"split{l}",
                     )
                 )
@@ -238,9 +241,12 @@ class ListGlow(nn.Module):
         self.final_channels = c
         self.final_hw = hw
         if cfg.learn_prior:
-            self.prior_conv0 = Conv2dNorm(cfg.n_units_prior, 3, norm=cfg.base_norm, name="prior0")
-            self.prior_conv1 = Conv2dNorm(cfg.n_units_prior // 2, 3, norm=cfg.base_norm, name="prior1")
-            self.prior_out = Conv2dZeros(2 * c, name="prior_out")
+            fw = getattr(cfg, "fold_weights", True)
+            self.prior_conv0 = Conv2dNorm(cfg.n_units_prior, 3, norm=cfg.base_norm,
+                                          fold_actnorm=fw, name="prior0")
+            self.prior_conv1 = Conv2dNorm(cfg.n_units_prior // 2, 3, norm=cfg.base_norm,
+                                          fold_actnorm=fw, name="prior1")
+            self.prior_out = Conv2dZeros(2 * c, fold_gain=fw, name="prior_out")
 
     # -- base prior -------------------------------------------------------
 

@@ -378,6 +378,7 @@ class AffineCoupling(nn.Module):
     # bijection deterministically (f/g stay exact inverses; logdet math and
     # the affine transform itself always run f32). GlowConfig.coupling_dtype.
     net_dtype: object = None
+    fold: bool = True  # GlowConfig.fold_weights (weight-fold family)
 
     @nn.compact
     def __call__(self, x, condition, logdet=None, reverse: bool = False, ddi: bool = False):
@@ -394,13 +395,13 @@ class AffineCoupling(nn.Module):
         h = jnp.concatenate([z1, condition], axis=-1)
         nd = self.net_dtype
         h = Conv2dNorm(self.hidden_units, 3, norm=self.norm, impl=impl,
-                       dtype=nd, name="net0")(h, ddi=ddi)
+                       dtype=nd, fold_actnorm=self.fold, name="net0")(h, ddi=ddi)
         h = act(h, self.non_lin)
         h = Conv2dNorm(self.hidden_units, 1, norm=self.norm, impl=impl,
-                       dtype=nd, name="net1")(h, ddi=ddi)
+                       dtype=nd, fold_actnorm=self.fold, name="net1")(h, ddi=ddi)
         h = act(h, self.non_lin)
         out = Conv2dZeros(self.x_channels, impl=impl, dtype=nd,
-                          name="net2")(h)
+                          fold_gain=self.fold, name="net2")(h)
         out = out.astype(jnp.float32)
         shift, log_scale = split_feature(out, "cross")
 
@@ -439,6 +440,7 @@ class Split2d(nn.Module):
     clamp_function: str = "softplus"
     norm: str = "actnorm"
     non_lin: str = "relu"
+    fold: bool = True  # GlowConfig.fold_weights (weight-fold family)
 
     def _clamp(self, log_scale):
         if self.clamp_function == "softplus":
@@ -465,15 +467,17 @@ class Split2d(nn.Module):
 
         if self.make_conditional:
             c = condition.shape[-1]
-            cond = Conv2dNorm(c, 3, norm=self.norm, name="cond0")(condition, ddi=ddi)
+            cond = Conv2dNorm(c, 3, norm=self.norm,
+                              fold_actnorm=self.fold, name="cond0")(condition, ddi=ddi)
             cond = act(cond, self.non_lin)
-            cond = Conv2dNorm(c, 1, norm=self.norm, name="cond1")(cond, ddi=ddi)
+            cond = Conv2dNorm(c, 1, norm=self.norm,
+                              fold_actnorm=self.fold, name="cond1")(cond, ddi=ddi)
             cond = act(cond, self.non_lin)
             h = jnp.concatenate([z1, cond], axis=-1)
         else:
             h = z1
 
-        out = Conv2dZeros(self.x_channels, name="conv")(h)
+        out = Conv2dZeros(self.x_channels, fold_gain=self.fold, name="conv")(h)
         mean, log_scale = split_feature(out, "cross")
         sigma = self._clamp(log_scale)
 

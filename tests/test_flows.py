@@ -314,3 +314,35 @@ def test_invconv_actnorm_fold_reverse_equivalence():
                                     fold_bias=bias, fold_logs=logs)
         np.testing.assert_allclose(x_fold, x_ref, atol=2e-5, rtol=2e-5)
         np.testing.assert_allclose(ld_fold, ld_ref, atol=1e-3, rtol=1e-5)
+
+
+def test_listglow_fold_weights_knob_equivalence():
+    """GlowConfig.fold_weights=False (A/B escape hatch) computes the same
+    f/log_prob as the default folded path, same param tree."""
+    from recurrent_flows_tpu.flows.glow import ListGlow
+
+    B, H, C = 2, 8, 4
+    x = jax.random.normal(jax.random.key(0), (B, H, H, C)) * 0.1
+    out = {}
+    for fold in (True, False):
+        cfg = GlowConfig(L=2, K=2, n_units_affine=8, n_units_prior=8,
+                         fold_weights=fold)
+        m = ListGlow(C, H, cfg)
+        conds_l = [
+            jax.random.normal(jax.random.key(10 + l),
+                              (B, H // 2 ** (l + 1), H // 2 ** (l + 1), 3))
+            for l in range(cfg.L)
+        ]
+        base_c = jax.random.normal(jax.random.key(20),
+                                   (B, H // 2 ** cfg.L, H // 2 ** cfg.L, 5))
+        v = m.init(jax.random.key(1), x, conds_l, base_c, jax.random.key(2))
+        # randomize the 1-d (norm/bias/logs) params so folds are non-trivial
+        p = jax.tree_util.tree_map(
+            lambda a: a + 0.1 * jax.random.normal(jax.random.key(3), a.shape)
+            if a.ndim == 1 else a, v["params"])
+        var = {"params": p, **{k: v[k] for k in v if k != "params"}}
+        z, ld = m.apply(var, x, conds_l, jnp.zeros(B), method=ListGlow.f)
+        out[fold] = (z, ld, jax.tree_util.tree_structure(v))
+    np.testing.assert_allclose(out[True][0], out[False][0], atol=3e-5, rtol=3e-5)
+    np.testing.assert_allclose(out[True][1], out[False][1], atol=2e-3, rtol=1e-5)
+    assert out[True][2] == out[False][2]
