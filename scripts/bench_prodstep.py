@@ -29,11 +29,13 @@ from recurrent_flows_tpu.utils.compilation_cache import enable as _enable_cache
 
 def time_step(impl: str, runs: int, batch_flow: bool = False,
               batch: int | None = None,
-              coupling_dtype: str | None = None) -> float:
+              coupling_dtype: str | None = None,
+              fold_weights: bool = True) -> float:
     cfg, tcfg = rfn_mnist_production()
     cfg = dataclasses.replace(
         cfg, glow=dataclasses.replace(cfg.glow, coupling_impl=impl,
-                                      coupling_dtype=coupling_dtype)
+                                      coupling_dtype=coupling_dtype,
+                                      fold_weights=fold_weights)
     )
     model = RFN(cfg, batch_flow=batch_flow)
     b, t = batch or tcfg.batch_size, tcfg.n_frames
@@ -82,13 +84,14 @@ def time_step(impl: str, runs: int, batch_flow: bool = False,
     return (time.perf_counter() - t0) / runs
 
 
-def time_sample(impl: str, runs: int) -> float:
+def time_sample(impl: str, runs: int, fold_weights: bool = True) -> float:
     """Production-config predict rollout (warmup 5, predict 10) — the
     sampling path where coupling_impl='auto' engages the fused kernel on
     the deep scales (reverse direction, no grad/remat)."""
     cfg, tcfg = rfn_mnist_production()
     cfg = dataclasses.replace(
-        cfg, glow=dataclasses.replace(cfg.glow, coupling_impl=impl)
+        cfg, glow=dataclasses.replace(cfg.glow, coupling_impl=impl,
+                                      fold_weights=fold_weights)
     )
     model = RFN(cfg)
     b = tcfg.batch_size
@@ -125,11 +128,14 @@ def main():
                     choices=[None, "bfloat16"],
                     help="coupling-NN compute dtype (GlowConfig.coupling_dtype)")
     ap.add_argument("--mode", default="loss", choices=["loss", "sample"])
+    ap.add_argument("--no_fold", action="store_true",
+                    help="disable the weight-fold family (A/B escape hatch)")
     args = ap.parse_args()
     _enable_cache()
     for impl in args.impls.split(","):
         if args.mode == "sample":
-            dt = time_sample(impl, args.runs)
+            dt = time_sample(impl, args.runs,
+                             fold_weights=not args.no_fold)
             print(json.dumps({
                 "impl": impl, "mode": "sample",
                 "rollout_ms": round(dt * 1000, 2),
@@ -137,7 +143,7 @@ def main():
             }), flush=True)
         else:
             dt = time_step(impl, args.runs, batch_flow=args.batch_flow,
-                           batch=args.batch,
+                           batch=args.batch, fold_weights=not args.no_fold,
                            coupling_dtype=args.coupling_dtype)
             bsz = args.batch or 30
             print(json.dumps({
