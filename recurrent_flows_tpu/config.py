@@ -105,6 +105,37 @@ class GlowConfig:
     # the step actnorm -> the 1x1 matmul (both directions). Default ON;
     # the switch exists for in-process A/B measurement and debugging.
     fold_weights: bool = True
+    # packed x-stream layout through each scale's K GlowSteps. The flow's
+    # x tensors have few channels (C=4..64 at 64x64/L=5); in NHWC the TPU
+    # tiles the last two dims to (8, 128), so C=4 pads the lane dim 32x
+    # and every x round-trip moves ~32x its logical bytes. Two packings
+    # remove that padding for every op between the coupling convs (the
+    # 1x1 matmul, the affine transform, channel splits/concats); the
+    # coupling convs themselves still run NHWC (one fused transpose at
+    # each conv boundary). Exact same math — equivalence tests in
+    # tests/test_flows.py; measured A/B in docs/PERF.md.
+    #   False / ""  : NHWC throughout (default)
+    #   "lanes"     : [B, H, C*W] channel-major lane packing; the 1x1
+    #                 invertible conv becomes ONE block-diagonal
+    #                 [C*W, C*W] MXU matmul (kron(W, I)); channel
+    #                 split/concat are contiguous lane slices
+    #   "sublane"   : [B, C, H*W] channel-sublane packing (True means
+    #                 this); the 1x1 contracts over sublanes
+    # Requires flow_norm='actnorm' + fold_weights; DDI and the fused
+    # Pallas kernel always run unpacked.
+    packed_layout: object = False
+
+
+def packed_mode(glow_cfg) -> str:
+    """Normalize GlowConfig.packed_layout to '' | 'lanes' | 'sublane'."""
+    v = getattr(glow_cfg, "packed_layout", False)
+    if not v:
+        return ""
+    if v is True:
+        return "sublane"
+    if v not in ("lanes", "sublane"):
+        raise ValueError(f"packed_layout must be False/'lanes'/'sublane', got {v!r}")
+    return v
 
 
 # --------------------------------------------------------------------------

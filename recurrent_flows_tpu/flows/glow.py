@@ -14,13 +14,17 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ..config import GlowConfig
+from ..config import GlowConfig, packed_mode
 from ..nn.layers import act
 from ..utils.numerics import (
     batch_reduce,
     normal_log_prob,
+    pack_chw,
+    pack_cw,
     split_feature,
     squeeze2d,
+    unpack_chw,
+    unpack_cw,
     unsqueeze2d,
 )
 from .modules import (
@@ -63,7 +67,8 @@ class GlowStep(nn.Module):
             # coupling_impl='fused' for such workloads.
             return False
         return (
-            cfg.flow_norm == "actnorm"
+            x.ndim == 4  # the kernel is NHWC; packed [B,C,S] input uses jnp
+            and cfg.flow_norm == "actnorm"
             and cfg.lu_decomposed
             and getattr(cfg, "coupling_dtype", None) is None  # kernel is f32
             # the kernel's coupling net hardcodes relu; a leakyrelu config
@@ -144,6 +149,13 @@ class GlowStep(nn.Module):
         cfg = self.cfg
         if self._fused_eligible(x, ddi, reverse):
             return self._fused(x, condition, logdet, reverse)
+        if x.ndim == 3:
+            # packed layout ('sublane' [B,C,S] or 'lanes' [B,H,C*W]): only
+            # reachable via the fold path (ListGlow gates packing on
+            # actnorm + fold_weights + not ddi)
+            assert cfg.flow_norm == "actnorm" and not ddi and \
+                getattr(cfg, "fold_weights", True), \
+                "packed layout requires actnorm + fold_weights, no DDI"
         if cfg.flow_norm == "batchnorm":
             norm = BatchNormFlow(
                 self.spatial_shape, momentum=cfg.batchnorm_momentum, name="norm"
@@ -158,7 +170,9 @@ class GlowStep(nn.Module):
                 "coupling_impl='im2col' was removed: it measured slower than "
                 "XLA conv at every scale (docs/PERF.md). Use 'auto'/'conv', "
                 "or 'fused' for large batched rows through deep scales.")
-        invconv = InvConv(self.channels, lu_decomposed=cfg.lu_decomposed, name="invconv")
+        pk = packed_mode(cfg) or "sublane"
+        invconv = InvConv(self.channels, lu_decomposed=cfg.lu_decomposed,
+                          packed=pk, name="invconv")
         affine = AffineCoupling(
             self.channels,
             hidden_units=cfg.n_units_affine,
@@ -170,6 +184,8 @@ class GlowStep(nn.Module):
                        if getattr(cfg, "coupling_dtype", None) == "bfloat16"
                        else None),
             fold=getattr(cfg, "fold_weights", True),
+            spatial=tuple(self.spatial_shape[:2]),
+            packed=pk,
             name="affine",
         )
         fold_step = getattr(cfg, "fold_weights", True)
@@ -268,16 +284,37 @@ class ListGlow(nn.Module):
 
     # -- bijection --------------------------------------------------------
 
+    def _packed(self, ddi: bool) -> str:
+        """Which packed layout ('' for NHWC) the K GlowSteps of each scale
+        run in (GlowConfig.packed_layout: 'lanes' = [B, H, C*W],
+        'sublane' = [B, C, H*W]). DDI, batchnorm flows, unfolded runs, and
+        the explicit fused-kernel request stay NHWC."""
+        cfg = self.cfg
+        if not (
+            cfg.flow_norm == "actnorm"
+            and getattr(cfg, "fold_weights", True)
+            and getattr(cfg, "coupling_impl", "conv") != "fused"
+            and not ddi
+        ):
+            return ""
+        return packed_mode(cfg)
+
     def f(self, x, conditions: Sequence, logdet, training: bool = True, ddi: bool = False):
         """x -> z. Reference Flow/glow.py:105-117."""
         cfg = self.cfg
+        packed = self._packed(ddi)
         z = x
         for l in range(cfg.L):
             z = squeeze2d(z)
+            h, w, c = z.shape[1], z.shape[2], z.shape[3]
+            if packed:
+                z = pack_cw(z) if packed == "lanes" else pack_chw(z)
             for k in range(cfg.K):
                 z, logdet = self.steps[l][k](
                     z, conditions[l], logdet, reverse=False, training=training, ddi=ddi
                 )
+            if packed:
+                z = unpack_cw(z, c) if packed == "lanes" else unpack_chw(z, h, w)
             if l < cfg.L - 1:
                 z, logdet = self.splits[l](
                     z, conditions[l], logdet, reverse=False, ddi=ddi
@@ -288,6 +325,7 @@ class ListGlow(nn.Module):
           training: bool = True):
         """z -> x. Reference Flow/glow.py:90-102."""
         cfg = self.cfg
+        packed = self._packed(ddi=False)
         x = z
         for l in reversed(range(cfg.L)):
             if l < cfg.L - 1:
@@ -295,10 +333,15 @@ class ListGlow(nn.Module):
                 x, _ = self.splits[l](
                     x, conditions[l], None, reverse=True, rng=sub, temperature=temperature
                 )
+            h, w, c = x.shape[1], x.shape[2], x.shape[3]
+            if packed:
+                x = pack_cw(x) if packed == "lanes" else pack_chw(x)
             for k in reversed(range(cfg.K)):
                 x, _ = self.steps[l][k](
                     x, conditions[l], None, reverse=True, training=training
                 )
+            if packed:
+                x = unpack_cw(x, c) if packed == "lanes" else unpack_chw(x, h, w)
             x = unsqueeze2d(x)
         return x
 

@@ -284,6 +284,9 @@ class InvConv(nn.Module):
 
     num_channels: int
     lu_decomposed: bool = True
+    # interpretation of a 3-d input (GlowConfig.packed_layout):
+    # 'sublane' = [B, C, S], 'lanes' = [B, H, C*W]
+    packed: str = "sublane"
 
     @nn.compact
     def __call__(self, x, logdet=None, reverse: bool = False,
@@ -299,9 +302,24 @@ class InvConv(nn.Module):
           == y·(diag(e^{-s})·W⁻¹)ᵀ - b`` (scale W⁻¹'s output rows).
 
         The actnorm logdet ``sum(s)·hw`` is accounted here from the params.
+
+        Accepts NHWC ``[B, H, W, C]`` or either packed layout
+        (GlowConfig.packed_layout; the ``packed`` field says which):
+        channel-sublane ``[B, C, S]`` (utils.numerics.pack_chw) or
+        channel-major lanes ``[B, H, C*W]`` (pack_cw) — identical math,
+        different physical tiling. In the lanes layout the 1x1 conv is ONE
+        block-diagonal ``[C*W, C*W]`` matmul (``kron(W, I_W)``): the MXU
+        pass is the same 128-wide tile NHWC pays for anyway (C pads to 128
+        lanes), without the relayout.
         """
         c = self.num_channels
-        hw = x.shape[1] * x.shape[2]
+        lanes = x.ndim == 3 and self.packed == "lanes"
+        packed = x.ndim == 3 and not lanes
+        if lanes:
+            wp = x.shape[2] // c
+            hw = x.shape[1] * wp
+        else:
+            hw = x.shape[2] if packed else x.shape[1] * x.shape[2]
         if not self.lu_decomposed:
             w = self.param(
                 "weight", lambda k, s: nn.initializers.orthogonal()(k, s), (c, c)
@@ -340,20 +358,33 @@ class InvConv(nn.Module):
             else:
                 weight = p @ l @ u
 
-        # 1x1 conv in NHWC == right-matmul by weight^T (maps straight to MXU).
+        # 1x1 conv in NHWC == right-matmul by weight^T (maps straight to MXU);
+        # packed [B, C, S] contracts over the sublane axis; packed lanes
+        # [B, H, C*W] right-multiplies by the block-diagonal kron(W^T, I_W).
+        eq = "bcs,dc->bds" if packed else "bhwc,dc->bhwd"
+
+        def mm(xx, w_dc):
+            if lanes:
+                bd = jnp.kron(w_dc.T, jnp.eye(wp, dtype=xx.dtype))
+                return jnp.einsum("bhl,lm->bhm", xx, bd)
+            return jnp.einsum(eq, xx, w_dc)
+
+        def vec(v):  # per-channel vector, broadcastable over the layout
+            if lanes:
+                return jnp.repeat(v, wp)
+            return v[:, None] if packed else v
+
         if fold_bias is not None and not reverse:
             e_s = jnp.exp(fold_logs)
             shift = (fold_bias * e_s) @ weight.T  # shift_d = Σ_c b_c e^{s_c} W[d,c]
-            z = jnp.einsum("bhwc,dc->bhwd", x, weight * e_s[None, :]) + shift
+            z = mm(x, weight * e_s[None, :]) + vec(shift)
             dlogdet = dlogdet + jnp.sum(fold_logs) * hw
         elif fold_bias is not None:
             # weight is already W⁻¹ here; x_d = e^{-s_d}(y·W⁻ᵀ)_d - b_d
-            z = jnp.einsum(
-                "bhwc,dc->bhwd", x, weight * jnp.exp(-fold_logs)[:, None]
-            ) - fold_bias
+            z = mm(x, weight * jnp.exp(-fold_logs)[:, None]) - vec(fold_bias)
             dlogdet = dlogdet + jnp.sum(fold_logs) * hw
         else:
-            z = jnp.einsum("bhwc,dc->bhwd", x, weight)
+            z = mm(x, weight)
         if logdet is not None:
             logdet = logdet - dlogdet if reverse else logdet + dlogdet
         return z, logdet
@@ -379,11 +410,39 @@ class AffineCoupling(nn.Module):
     # the affine transform itself always run f32). GlowConfig.coupling_dtype.
     net_dtype: object = None
     fold: bool = True  # GlowConfig.fold_weights (weight-fold family)
+    spatial: tuple = ()  # (H, W), required for the packed layouts
+    # interpretation of a 3-d input (GlowConfig.packed_layout):
+    # 'sublane' = [B, C, S], 'lanes' = [B, H, C*W]
+    packed: str = "sublane"
 
     @nn.compact
     def __call__(self, x, condition, logdet=None, reverse: bool = False, ddi: bool = False):
-        z1, z2 = split_feature(x, "split")
-        assert condition.shape[1:3] == x.shape[1:3], "condition/x spatial mismatch"
+        # Packed input (GlowConfig.packed_layout): z1/z2 split on the
+        # packed channel axis (contiguous lane slices in 'lanes' mode);
+        # only the coupling-net convs run NHWC (their transposes fuse into
+        # the concat / affine epilogue).
+        lanes = x.ndim == 3 and self.packed == "lanes"
+        packed = x.ndim == 3 and not lanes
+        if lanes:
+            from ..utils.numerics import unpack_cw
+
+            h_sp, w_sp = self.spatial
+            c = x.shape[2] // w_sp
+            half = (c // 2) * w_sp
+            z1, z2 = x[..., :half], x[..., half:]
+            z1_nhwc = unpack_cw(z1, c // 2)
+        elif packed:
+            from ..utils.numerics import unpack_chw
+
+            h_sp, w_sp = self.spatial
+            c = x.shape[1]
+            z1, z2 = x[:, : c // 2], x[:, c // 2 :]
+            z1_nhwc = unpack_chw(z1, h_sp, w_sp)
+        else:
+            z1, z2 = split_feature(x, "split")
+            z1_nhwc = z1
+        assert condition.shape[1:3] == z1_nhwc.shape[1:3], \
+            "condition/x spatial mismatch"
         impl = self.impl
         if impl not in ("conv", "im2col"):
             # 'auto' resolves at the GlowStep level (fused Pallas kernel on
@@ -392,7 +451,7 @@ class AffineCoupling(nn.Module):
             # every scale (2026-08 v5e grad-step measurements: im2col 1.1-5x
             # slower than conv across 16x16..2x2).
             impl = "conv"
-        h = jnp.concatenate([z1, condition], axis=-1)
+        h = jnp.concatenate([z1_nhwc, condition], axis=-1)
         nd = self.net_dtype
         h = Conv2dNorm(self.hidden_units, 3, norm=self.norm, impl=impl,
                        dtype=nd, fold_actnorm=self.fold, name="net0")(h, ddi=ddi)
@@ -422,10 +481,20 @@ class AffineCoupling(nn.Module):
 
         from ..ops.pallas import coupling_transform
 
+        if lanes:
+            from ..utils.numerics import pack_cw
+
+            shift, s = pack_cw(shift), pack_cw(s)
+        elif packed:
+            from ..utils.numerics import pack_chw
+
+            # the transpose into packed layout fuses with the clamp chain
+            # reading the conv output, so 'out' is read once
+            shift, s = pack_chw(shift), pack_chw(s)
         z2, ld = coupling_transform(z2, shift, s, reverse)
         if logdet is not None:
             logdet = logdet + ld if not reverse else logdet - ld
-        return jnp.concatenate([z1, z2], axis=-1), logdet
+        return jnp.concatenate([z1, z2], axis=1 if packed else -1), logdet
 
 
 class Split2d(nn.Module):

@@ -82,6 +82,48 @@ def unsqueeze2d(x: jax.Array) -> jax.Array:
     return x.reshape(b, h * 2, w * 2, c // 4)
 
 
+def pack_chw(x: jax.Array) -> jax.Array:
+    """[B, H, W, C] -> packed [B, C, H*W] (channel-sublane layout).
+
+    The flow's x-stream tensors have few channels (C=4..64); NHWC puts C
+    in the TPU lane dimension, which pads to 128 (32x memory/bandwidth
+    blowup at C=4). Packed [B, C, S] puts the large spatial extent in
+    lanes and C in sublanes, so per-channel elementwise ops, the 1x1
+    invertible conv (a matmul over C), and channel splits/concats move
+    only their logical bytes. Exact transpose+reshape — no math change.
+    """
+    b, h, w, c = x.shape
+    return x.transpose(0, 3, 1, 2).reshape(b, c, h * w)
+
+
+def unpack_chw(x: jax.Array, h: int, w: int) -> jax.Array:
+    """Packed [B, C, H*W] -> [B, H, W, C] (inverse of :func:`pack_chw`)."""
+    b, c, _ = x.shape
+    return x.reshape(b, c, h, w).transpose(0, 2, 3, 1)
+
+
+def pack_cw(x: jax.Array) -> jax.Array:
+    """[B, H, W, C] -> [B, H, C*W] (channel-major lane packing).
+
+    The alternative packing to :func:`pack_chw`: rows stay (B, H) and the
+    lane dimension holds all C channels of a full image row, channel-major
+    (lane index = c*W + w). At the flow's scales C*W is ~128, so the lane
+    dim is fully utilized, the invertible 1x1 conv becomes ONE
+    block-diagonal [C*W, C*W] MXU matmul (kron(W_1x1, I_W)), and channel
+    split/concat are contiguous lane slices. Exact transpose+reshape —
+    no math change.
+    """
+    b, h, w, c = x.shape
+    return x.transpose(0, 1, 3, 2).reshape(b, h, c * w)
+
+
+def unpack_cw(x: jax.Array, c: int) -> jax.Array:
+    """Packed [B, H, C*W] -> [B, H, W, C] (inverse of :func:`pack_cw`)."""
+    b, h, cw = x.shape
+    w = cw // c
+    return x.reshape(b, h, c, w).transpose(0, 1, 3, 2)
+
+
 def conv_output_size(dims, kernels, paddings, strides, dilations=None,
                      output_paddings=None, transpose: bool = False):
     """Conv / transposed-conv output-shape calculator.

@@ -30,12 +30,14 @@ from recurrent_flows_tpu.utils.compilation_cache import enable as _enable_cache
 def time_step(impl: str, runs: int, batch_flow: bool = False,
               batch: int | None = None,
               coupling_dtype: str | None = None,
-              fold_weights: bool = True) -> float:
+              fold_weights: bool = True,
+              packed_layout: object = False) -> float:
     cfg, tcfg = rfn_mnist_production()
     cfg = dataclasses.replace(
         cfg, glow=dataclasses.replace(cfg.glow, coupling_impl=impl,
                                       coupling_dtype=coupling_dtype,
-                                      fold_weights=fold_weights)
+                                      fold_weights=fold_weights,
+                                      packed_layout=packed_layout)
     )
     model = RFN(cfg, batch_flow=batch_flow)
     b, t = batch or tcfg.batch_size, tcfg.n_frames
@@ -84,14 +86,16 @@ def time_step(impl: str, runs: int, batch_flow: bool = False,
     return (time.perf_counter() - t0) / runs
 
 
-def time_sample(impl: str, runs: int, fold_weights: bool = True) -> float:
+def time_sample(impl: str, runs: int, fold_weights: bool = True,
+                packed_layout: object = False) -> float:
     """Production-config predict rollout (warmup 5, predict 10) — the
     sampling path where coupling_impl='auto' engages the fused kernel on
     the deep scales (reverse direction, no grad/remat)."""
     cfg, tcfg = rfn_mnist_production()
     cfg = dataclasses.replace(
         cfg, glow=dataclasses.replace(cfg.glow, coupling_impl=impl,
-                                      fold_weights=fold_weights)
+                                      fold_weights=fold_weights,
+                                      packed_layout=packed_layout)
     )
     model = RFN(cfg)
     b = tcfg.batch_size
@@ -130,24 +134,28 @@ def main():
     ap.add_argument("--mode", default="loss", choices=["loss", "sample"])
     ap.add_argument("--no_fold", action="store_true",
                     help="disable the weight-fold family (A/B escape hatch)")
+    ap.add_argument("--packed", default="", choices=["", "sublane", "lanes"],
+                    help="packed x-stream layout (GlowConfig.packed_layout)")
     args = ap.parse_args()
     _enable_cache()
     for impl in args.impls.split(","):
         if args.mode == "sample":
             dt = time_sample(impl, args.runs,
-                             fold_weights=not args.no_fold)
+                             fold_weights=not args.no_fold,
+                             packed_layout=args.packed or False)
             print(json.dumps({
-                "impl": impl, "mode": "sample",
+                "impl": impl, "mode": "sample", "packed": args.packed,
                 "rollout_ms": round(dt * 1000, 2),
                 "pred_frames_per_s": round(30 * 10 / dt, 1),
             }), flush=True)
         else:
             dt = time_step(impl, args.runs, batch_flow=args.batch_flow,
                            batch=args.batch, fold_weights=not args.no_fold,
+                           packed_layout=args.packed or False,
                            coupling_dtype=args.coupling_dtype)
             bsz = args.batch or 30
             print(json.dumps({
-                "impl": impl,
+                "impl": impl, "packed": args.packed,
                 "batch_flow": args.batch_flow,
                 "batch": bsz,
                 "coupling_dtype": args.coupling_dtype,

@@ -346,3 +346,77 @@ def test_listglow_fold_weights_knob_equivalence():
     np.testing.assert_allclose(out[True][0], out[False][0], atol=3e-5, rtol=3e-5)
     np.testing.assert_allclose(out[True][1], out[False][1], atol=2e-3, rtol=1e-5)
     assert out[True][2] == out[False][2]
+
+
+@pytest.mark.parametrize("mode", ["sublane", "lanes"])
+def test_listglow_packed_layout_equivalence(mode):
+    """GlowConfig.packed_layout ('sublane' [B,C,S] / 'lanes' [B,H,C*W]
+    x-stream through each scale's GlowSteps) computes the same f/ld/g as
+    the NHWC default — identical math, different physical tiling — with
+    the same param tree, and g round-trips through f."""
+    from recurrent_flows_tpu.flows.glow import ListGlow
+
+    B, H, C = 2, 8, 4
+    x = jax.random.normal(jax.random.key(0), (B, H, H, C)) * 0.1
+    out = {}
+    for packed in (False, mode):
+        cfg = GlowConfig(L=2, K=2, n_units_affine=8, n_units_prior=8,
+                         packed_layout=packed)
+        m = ListGlow(C, H, cfg)
+        conds_l = [
+            jax.random.normal(jax.random.key(10 + l),
+                              (B, H // 2 ** (l + 1), H // 2 ** (l + 1), 3))
+            for l in range(cfg.L)
+        ]
+        base_c = jax.random.normal(jax.random.key(20),
+                                   (B, H // 2 ** cfg.L, H // 2 ** cfg.L, 5))
+        v = m.init(jax.random.key(1), x, conds_l, base_c, jax.random.key(2))
+        p = jax.tree_util.tree_map(
+            lambda a: a + 0.1 * jax.random.normal(jax.random.key(3), a.shape)
+            if a.ndim == 1 else a, v["params"])
+        var = {"params": p, **{k: v[k] for k in v if k != "params"}}
+        z, ld = m.apply(var, x, conds_l, jnp.zeros(B), method=ListGlow.f)
+        xg = m.apply(var, z, conds_l, jax.random.key(4), method=ListGlow.g)
+        zr, _ = m.apply(var, xg, conds_l, jnp.zeros(B), method=ListGlow.f)
+        out[packed] = (z, ld, xg, zr, jax.tree_util.tree_structure(v))
+    np.testing.assert_allclose(out[mode][0], out[False][0], atol=3e-5, rtol=3e-5)
+    np.testing.assert_allclose(out[mode][1], out[False][1], atol=2e-3, rtol=1e-5)
+    # same rng stream -> identical g samples across layouts
+    np.testing.assert_allclose(out[mode][2], out[False][2], atol=3e-5, rtol=3e-5)
+    # packed g round-trips through packed f
+    np.testing.assert_allclose(out[mode][3], out[mode][0], atol=2e-4)
+    assert out[mode][4] == out[False][4]
+
+
+@pytest.mark.parametrize("mode", ["sublane", "lanes"])
+def test_packed_layout_gradients_match(mode):
+    """loss+grad through the packed layout == the NHWC default."""
+    from recurrent_flows_tpu.flows.glow import ListGlow
+
+    B, H, C = 2, 8, 4
+    x = jax.random.normal(jax.random.key(0), (B, H, H, C)) * 0.1
+    grads, vals = {}, {}
+    for packed in (False, mode):
+        cfg = GlowConfig(L=2, K=2, n_units_affine=8, n_units_prior=8,
+                         packed_layout=packed)
+        m = ListGlow(C, H, cfg)
+        conds_l = [
+            jax.random.normal(jax.random.key(10 + l),
+                              (B, H // 2 ** (l + 1), H // 2 ** (l + 1), 3))
+            for l in range(cfg.L)
+        ]
+        base_c = jax.random.normal(jax.random.key(20),
+                                   (B, H // 2 ** cfg.L, H // 2 ** cfg.L, 5))
+        v = m.init(jax.random.key(1), x, conds_l, base_c, jax.random.key(2))
+
+        def loss(p):
+            _, nll = m.apply({"params": p, **{k: v[k] for k in v if k != "params"}},
+                             x, conds_l, base_c, jax.random.key(5),
+                             method=ListGlow.log_prob)
+            return jnp.mean(nll)
+
+        vals[packed], grads[packed] = jax.value_and_grad(loss)(v["params"])
+    np.testing.assert_allclose(vals[mode], vals[False], rtol=1e-5)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(a, b, atol=1e-4, rtol=1e-3),
+        grads[mode], grads[False])
