@@ -61,6 +61,13 @@ class RFN(nn.Module):
     # jax.checkpoint_policies; None = plain full remat. Measured in
     # scripts/profile_prodstep.py.
     remat_policy: str | None = None
+    # lax.scan unroll factor for the per-step loss scan and the
+    # autoregressive predict rollout. >1 packs that many (still
+    # individually remat'd) steps per loop iteration, removing scan
+    # boundaries and letting XLA fuse across adjacent timesteps, at the
+    # cost of compile time. A/B'd by scripts/bench_prodstep.py
+    # --scan_unroll; see docs/PERF.md for the measured verdict.
+    scan_unroll: int = 1
 
     # ------------------------------------------------------------------
     def setup(self):
@@ -312,7 +319,8 @@ class RFN(nn.Module):
         else:
             step_fn = step
         xs = (x_tm[1:], hs, as_, f_last[1:], skips_prev, keys)
-        _, outs = jax.lax.scan(step_fn, (z0, z0x), xs)
+        _, outs = jax.lax.scan(step_fn, (z0, z0x), xs,
+                               unroll=min(self.scan_unroll, t - 1))
 
         if self.batch_flow:
             # time-batched flow: [(T-1)*B, ...] in one device program
@@ -467,7 +475,8 @@ class RFN(nn.Module):
             )
             return (h, c, zt, new_pred), new_pred
 
-        _, preds = jax.lax.scan(step, (h, c, zprev, prediction), keys)
+        _, preds = jax.lax.scan(step, (h, c, zprev, prediction), keys,
+                                unroll=min(self.scan_unroll, n_predictions))
         true_x = x[:, :n_conditions].swapaxes(0, 1)
         return true_x, preds
 

@@ -31,7 +31,8 @@ def time_step(impl: str, runs: int, batch_flow: bool = False,
               batch: int | None = None,
               coupling_dtype: str | None = None,
               fold_weights: bool = True,
-              packed_layout: object = False) -> float:
+              packed_layout: object = False,
+              scan_unroll: int = 1) -> float:
     cfg, tcfg = rfn_mnist_production()
     cfg = dataclasses.replace(
         cfg, glow=dataclasses.replace(cfg.glow, coupling_impl=impl,
@@ -39,7 +40,7 @@ def time_step(impl: str, runs: int, batch_flow: bool = False,
                                       fold_weights=fold_weights,
                                       packed_layout=packed_layout)
     )
-    model = RFN(cfg, batch_flow=batch_flow)
+    model = RFN(cfg, batch_flow=batch_flow, scan_unroll=scan_unroll)
     b, t = batch or tcfg.batch_size, tcfg.n_frames
     x = jax.random.uniform(
         jax.random.key(0), (b, t, cfg.image_size, cfg.image_size, 1)
@@ -87,7 +88,8 @@ def time_step(impl: str, runs: int, batch_flow: bool = False,
 
 
 def time_sample(impl: str, runs: int, fold_weights: bool = True,
-                packed_layout: object = False) -> float:
+                packed_layout: object = False,
+                scan_unroll: int = 1) -> float:
     """Production-config predict rollout (warmup 5, predict 10) — the
     sampling path where coupling_impl='auto' engages the fused kernel on
     the deep scales (reverse direction, no grad/remat)."""
@@ -97,7 +99,7 @@ def time_sample(impl: str, runs: int, fold_weights: bool = True,
                                       fold_weights=fold_weights,
                                       packed_layout=packed_layout)
     )
-    model = RFN(cfg)
+    model = RFN(cfg, scan_unroll=scan_unroll)
     b = tcfg.batch_size
     x = jax.random.uniform(
         jax.random.key(0), (b, 5, cfg.image_size, cfg.image_size, 1)
@@ -136,15 +138,19 @@ def main():
                     help="disable the weight-fold family (A/B escape hatch)")
     ap.add_argument("--packed", default="", choices=["", "sublane", "lanes"],
                     help="packed x-stream layout (GlowConfig.packed_layout)")
+    ap.add_argument("--scan_unroll", type=int, default=1,
+                    help="lax.scan unroll factor for the loss/predict scans")
     args = ap.parse_args()
     _enable_cache()
     for impl in args.impls.split(","):
         if args.mode == "sample":
             dt = time_sample(impl, args.runs,
                              fold_weights=not args.no_fold,
-                             packed_layout=args.packed or False)
+                             packed_layout=args.packed or False,
+                             scan_unroll=args.scan_unroll)
             print(json.dumps({
                 "impl": impl, "mode": "sample", "packed": args.packed,
+                "scan_unroll": args.scan_unroll,
                 "rollout_ms": round(dt * 1000, 2),
                 "pred_frames_per_s": round(30 * 10 / dt, 1),
             }), flush=True)
@@ -152,11 +158,13 @@ def main():
             dt = time_step(impl, args.runs, batch_flow=args.batch_flow,
                            batch=args.batch, fold_weights=not args.no_fold,
                            packed_layout=args.packed or False,
-                           coupling_dtype=args.coupling_dtype)
+                           coupling_dtype=args.coupling_dtype,
+                           scan_unroll=args.scan_unroll)
             bsz = args.batch or 30
             print(json.dumps({
                 "impl": impl, "packed": args.packed,
                 "batch_flow": args.batch_flow,
+                "scan_unroll": args.scan_unroll,
                 "batch": bsz,
                 "coupling_dtype": args.coupling_dtype,
                 "loss_grad_ms": round(dt * 1000, 2),

@@ -144,3 +144,20 @@ def test_batch_flow_loss_matches_scanned_flow():
     for k in ("nll", "kl", "kl_free_bits"):
         np.testing.assert_allclose(np.asarray(o1[k]), np.asarray(o0[k]),
                                    rtol=1e-5, atol=1e-5)
+
+
+def test_scan_unroll_equivalence():
+    """scan_unroll>1 must be a pure scheduling knob: identical loss and
+    identical predictions (same keys) as the default unroll=1."""
+    cfg = tiny_cfg()
+    model, v, x = make(cfg)
+    model4 = RFN(cfg, remat=False, scan_unroll=4)
+    out1 = model.apply(v, x, jax.random.key(3), method=RFN.loss)
+    out4 = model4.apply(v, x, jax.random.key(3), method=RFN.loss)
+    for k in ("nll", "kl", "kl_free_bits"):
+        np.testing.assert_allclose(float(out1[k]), float(out4[k]),
+                                   rtol=1e-6, err_msg=k)
+    _, p1 = model.apply(v, x, 3, 2, jax.random.key(5), method=RFN.predict)
+    _, p4 = model4.apply(v, x, 3, 2, jax.random.key(5), method=RFN.predict)
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p4),
+                               rtol=1e-5, atol=1e-6)
