@@ -124,6 +124,15 @@ class GlowConfig:
     # Requires flow_norm='actnorm' + fold_weights; DDI and the fused
     # Pallas kernel always run unpacked.
     packed_layout: object = False
+    # whole-scale chain kernel (ops/pallas/glowchain.py): run an entire
+    # K-step GlowStep chain of a small-spatial scale (H*W <= 256) in ONE
+    # pallas_call, x carried in VMEM across the K grid steps. Targets the
+    # measured per-kernel launch floor (~2.4 us/op) that dominates the
+    # deep scales' time (docs/PERF.md round 3e).
+    #   'off'    : never (default until measured)
+    #   'sample' : the sampling/eval g-pass only (reverse, no grad)
+    #   'all'    : f and g (f's backward is a jnp-remat VJP)
+    chain_impl: str = "off"
 
 
 def packed_mode(glow_cfg) -> str:

@@ -38,6 +38,69 @@ from .modules import (
 )
 
 
+def prep_glowstep_params(p, consts, cfg, c: int, reverse: bool):
+    """Assemble kernel-ready ``GlowStepParams`` from one GlowStep's
+    param/const subtrees (p = {'norm','invconv','affine'}).
+
+    LU assembly for the 1x1 (inverted via triangular solves for the
+    reverse direction), Conv2dZeros exp(3*logs) gain folding, and the
+    'cross' split pre-permutation of the last conv all happen here in
+    jnp — O(C^2) one-offs XLA fuses for free (and LICM-hoists out of
+    sampling scans, docs/PERF.md). Returns (params, static_logdet_per_px)
+    where the static term is sum(actnorm logs) + sum(1x1 log_s); the
+    caller multiplies by H*W and signs it for the direction.
+    """
+    from ..ops.pallas.glowstep import GlowStepParams
+
+    inv, invc = p["invconv"], consts["invconv"]
+    l_mask = jnp.tril(jnp.ones((c, c), jnp.float32), -1)
+    eye = jnp.eye(c, dtype=jnp.float32)
+    lower = inv["lower"] * l_mask + eye
+    upper = inv["upper"] * l_mask.T + jnp.diag(
+        invc["sign_s"] * jnp.exp(inv["log_s"])
+    )
+    if reverse:
+        u_inv = jax.scipy.linalg.solve_triangular(upper, eye, lower=False)
+        l_inv = jax.scipy.linalg.solve_triangular(
+            lower, eye, lower=True, unit_diagonal=True
+        )
+        weight = u_inv @ l_inv @ invc["p"].T
+    else:
+        weight = invc["p"] @ lower @ upper
+    aff = p["affine"]
+    u = cfg.n_units_affine
+    wa = aff["net0"]["conv"]["kernel"].reshape(9, -1, u)
+    wb = aff["net1"]["conv"]["kernel"].reshape(u, u)
+    e3 = jnp.exp(3.0 * aff["net2"]["logs"])
+    perm = jnp.concatenate(
+        [jnp.arange(0, c, 2), jnp.arange(1, c, 2)]
+    )  # 'cross' split pre-permutation: evens (shift) then odds (scale)
+    wc = (aff["net2"]["conv"]["kernel"] * e3)[..., perm].reshape(9, u, c)
+    bias_c = (aff["net2"]["conv"]["bias"] * e3)[perm]
+    half = c // 2
+    if cfg.clamp_type == "realnvp":
+        cl_scale, cl_shift = aff["scale"], aff["scale_shift"]
+    else:
+        cl_scale = cl_shift = jnp.zeros((half,), jnp.float32)
+    params = GlowStepParams(
+        an_bias=p["norm"]["bias"],
+        an_logs=p["norm"]["logs"],
+        w1x1=weight.T,
+        wa=wa,
+        ana_bias=aff["net0"]["actnorm"]["bias"],
+        ana_logs=aff["net0"]["actnorm"]["logs"],
+        wb=wb,
+        anb_bias=aff["net1"]["actnorm"]["bias"],
+        anb_logs=aff["net1"]["actnorm"]["logs"],
+        wc=wc,
+        bias_c=bias_c,
+        clamp_scale=cl_scale,
+        clamp_shift=cl_shift,
+    )
+    static_ld_px = jnp.sum(p["norm"]["logs"]) + jnp.sum(inv["log_s"])
+    return params, static_ld_px
+
+
 class GlowStep(nn.Module):
     """norm -> invertible 1x1 conv -> conditional affine coupling.
 
@@ -84,62 +147,17 @@ class GlowStep(nn.Module):
         """Whole-step Pallas kernel (ops/pallas/glowstep.py). Params are
         read from this module's bound scope — the tree is created by the
         normal path at init, so checkpoints are impl-independent."""
-        from ..ops.pallas.glowstep import GlowStepParams, glowstep_fused
+        from ..ops.pallas.glowstep import glowstep_fused
 
         cfg = self.cfg
-        c = self.channels
         hw = x.shape[1] * x.shape[2]
-        p = self.variables["params"]
-        consts = self.variables["consts"]
-        inv, invc = p["invconv"], consts["invconv"]
-        l_mask = jnp.tril(jnp.ones((c, c), jnp.float32), -1)
-        eye = jnp.eye(c, dtype=jnp.float32)
-        lower = inv["lower"] * l_mask + eye
-        upper = inv["upper"] * l_mask.T + jnp.diag(
-            invc["sign_s"] * jnp.exp(inv["log_s"])
-        )
-        if reverse:
-            u_inv = jax.scipy.linalg.solve_triangular(upper, eye, lower=False)
-            l_inv = jax.scipy.linalg.solve_triangular(
-                lower, eye, lower=True, unit_diagonal=True
-            )
-            weight = u_inv @ l_inv @ invc["p"].T
-        else:
-            weight = invc["p"] @ lower @ upper
-        aff = p["affine"]
-        u = cfg.n_units_affine
-        wa = aff["net0"]["conv"]["kernel"].reshape(9, -1, u)
-        wb = aff["net1"]["conv"]["kernel"].reshape(u, u)
-        e3 = jnp.exp(3.0 * aff["net2"]["logs"])
-        perm = jnp.concatenate(
-            [jnp.arange(0, c, 2), jnp.arange(1, c, 2)]
-        )  # 'cross' split pre-permutation: evens (shift) then odds (scale)
-        wc = (aff["net2"]["conv"]["kernel"] * e3)[..., perm].reshape(9, u, c)
-        bias_c = (aff["net2"]["conv"]["bias"] * e3)[perm]
-        half = c // 2
-        if cfg.clamp_type == "realnvp":
-            cl_scale, cl_shift = aff["scale"], aff["scale_shift"]
-        else:
-            cl_scale = cl_shift = jnp.zeros((half,), jnp.float32)
-        params = GlowStepParams(
-            an_bias=p["norm"]["bias"],
-            an_logs=p["norm"]["logs"],
-            w1x1=weight.T,
-            wa=wa,
-            ana_bias=aff["net0"]["actnorm"]["bias"],
-            ana_logs=aff["net0"]["actnorm"]["logs"],
-            wb=wb,
-            anb_bias=aff["net1"]["actnorm"]["bias"],
-            anb_logs=aff["net1"]["actnorm"]["logs"],
-            wc=wc,
-            bias_c=bias_c,
-            clamp_scale=cl_scale,
-            clamp_shift=cl_shift,
+        params, static_ld_px = prep_glowstep_params(
+            self.variables["params"], self.variables["consts"], cfg,
+            self.channels, reverse,
         )
         y, dyn_ld = glowstep_fused(x, condition, params, cfg.clamp_type, reverse)
-        static_ld = (jnp.sum(p["norm"]["logs"]) + jnp.sum(inv["log_s"])) * hw
         if logdet is not None:
-            total = dyn_ld + static_ld
+            total = dyn_ld + static_ld_px * hw
             logdet = logdet - total if reverse else logdet + total
         return y, logdet
 
@@ -299,6 +317,55 @@ class ListGlow(nn.Module):
             return ""
         return packed_mode(cfg)
 
+    def _chain_eligible(self, x, ddi: bool, reverse: bool, packed: str) -> bool:
+        """Whole-scale chain kernel gate (GlowConfig.chain_impl): one
+        pallas_call runs the scale's K GlowSteps with x carried in VMEM
+        (ops/pallas/glowchain.py). Same support envelope as the per-step
+        fused kernel: small-spatial NHWC f32 actnorm/LU/relu scales."""
+        cfg = self.cfg
+        mode = getattr(cfg, "chain_impl", "off")
+        if mode == "off" or (mode == "sample" and not reverse):
+            return False
+        return (
+            not packed
+            and x.ndim == 4
+            and cfg.flow_norm == "actnorm"
+            and cfg.lu_decomposed
+            and getattr(cfg, "coupling_dtype", None) is None
+            and cfg.non_lin == "relu"
+            and not ddi
+            and not self.is_initializing()
+            and x.shape[1] * x.shape[2] <= 256
+        )
+
+    def _chain(self, l: int, x, condition, logdet, reverse: bool):
+        """Run scale ``l``'s full K-step chain through the glowchain
+        kernel. Params are prepped per step and stacked [K, ...] in
+        execution order (reversed for the inverse direction)."""
+        from ..ops.pallas.glowchain import glowchain_fused
+
+        cfg = self.cfg
+        c = x.shape[-1]
+        hw = x.shape[1] * x.shape[2]
+        order = range(cfg.K - 1, -1, -1) if reverse else range(cfg.K)
+        preps = [
+            prep_glowstep_params(
+                self.variables["params"][f"scale{l}_step{k}"],
+                self.variables["consts"][f"scale{l}_step{k}"],
+                cfg, c, reverse,
+            )
+            for k in order
+        ]
+        ps = jax.tree_util.tree_map(
+            lambda *leaves: jnp.stack(leaves), *(pr for pr, _ in preps)
+        )
+        y, dyn_ld = glowchain_fused(x, condition, ps, cfg.clamp_type, reverse)
+        if logdet is not None:
+            static = sum(s for _, s in preps) * hw
+            total = dyn_ld + static
+            logdet = logdet - total if reverse else logdet + total
+        return y, logdet
+
     def f(self, x, conditions: Sequence, logdet, training: bool = True, ddi: bool = False):
         """x -> z. Reference Flow/glow.py:105-117."""
         cfg = self.cfg
@@ -307,6 +374,13 @@ class ListGlow(nn.Module):
         for l in range(cfg.L):
             z = squeeze2d(z)
             h, w, c = z.shape[1], z.shape[2], z.shape[3]
+            if self._chain_eligible(z, ddi, False, packed):
+                z, logdet = self._chain(l, z, conditions[l], logdet, False)
+                if l < cfg.L - 1:
+                    z, logdet = self.splits[l](
+                        z, conditions[l], logdet, reverse=False, ddi=ddi
+                    )
+                continue
             if packed:
                 z = pack_cw(z) if packed == "lanes" else pack_chw(z)
             for k in range(cfg.K):
@@ -334,6 +408,10 @@ class ListGlow(nn.Module):
                     x, conditions[l], None, reverse=True, rng=sub, temperature=temperature
                 )
             h, w, c = x.shape[1], x.shape[2], x.shape[3]
+            if self._chain_eligible(x, False, True, packed):
+                x, _ = self._chain(l, x, conditions[l], None, True)
+                x = unsqueeze2d(x)
+                continue
             if packed:
                 x = pack_cw(x) if packed == "lanes" else pack_chw(x)
             for k in reversed(range(cfg.K)):

@@ -94,7 +94,10 @@ def _coupling_net(z1, cond, p: GlowStepParams, clamp_type: str):
     hb = jnp.dot(ha, p.wb, preferred_element_type=jnp.float32)
     hb = jax.nn.relu((hb + p.anb_bias) * jnp.exp(p.anb_logs))
     hbp = jnp.pad(hb.reshape(bt, h, w, u), ((0, 0), (1, 1), (1, 1), (0, 0)))
-    c = p.an_bias.shape[0]
+    # shape[-1]: the chain kernel (glowchain.py) streams vector params as
+    # [1, C] blocks (Mosaic block-shape rule); both layouts broadcast the
+    # same, only the channel-count read must be axis-agnostic
+    c = p.an_bias.shape[-1]
     acc2 = jnp.zeros((rows, c), jnp.float32) + p.bias_c
     for dy in range(3):
         for dx in range(3):

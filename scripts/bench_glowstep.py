@@ -41,7 +41,7 @@ K = 10
 
 
 def time_stack(h, c, cc, *, impl: str, n_runs: int = 30, with_grad: bool = True,
-               coupling_norm: str = "actnorm"):
+               coupling_norm: str = "actnorm", reverse: bool = False):
     cfg = GlowConfig(L=1, K=K, n_units_affine=256, coupling_impl=impl,
                      coupling_norm=coupling_norm)
     steps = [GlowStep(c, cfg, spatial_shape=(h, h, c)) for _ in range(K)]
@@ -52,6 +52,14 @@ def time_stack(h, c, cc, *, impl: str, n_runs: int = 30, with_grad: bool = True,
         variables.append(step.init(jax.random.key(2 + i), x, cond))
 
     def stack(params_list, x):
+        if reverse:  # the sampling g-pass regime: no logdet, steps K-1..0
+            for step, v, p in zip(reversed(steps), reversed(variables),
+                                  reversed(params_list)):
+                x, _ = step.apply(
+                    {"params": p, "consts": v.get("consts", {})}, x, cond,
+                    None, reverse=True,
+                )
+            return x, jnp.zeros((x.shape[0],))
         logdet = jnp.zeros((x.shape[0],))
         for step, v, p in zip(steps, variables, params_list):
             x, logdet = step.apply(
@@ -91,6 +99,9 @@ def main():
     ap.add_argument("--impls", default="conv")
     ap.add_argument("--runs", type=int, default=30)
     ap.add_argument("--fwd_only", action="store_true")
+    ap.add_argument("--reverse", action="store_true",
+                    help="time the sampling g-pass regime (reverse steps, "
+                         "no logdet, no grad)")
     ap.add_argument("--coupling_norm", default="actnorm")
     args = ap.parse_args()
     results = {}
@@ -100,12 +111,14 @@ def main():
             if impl in ("im2col", "fused") and h * h > 256:
                 continue  # im2col is a small-spatial lever only ('auto' gate)
             dt = time_stack(h, c, cc, impl=impl, n_runs=args.runs,
-                            with_grad=not args.fwd_only,
-                            coupling_norm=args.coupling_norm)
+                            with_grad=not args.fwd_only and not args.reverse,
+                            coupling_norm=args.coupling_norm,
+                            reverse=args.reverse)
             per_scale[f"{h}x{h}xc{c}"] = round(dt * 1000, 3)
         per_scale["total_ms"] = round(sum(per_scale.values()), 3)
         results[impl] = per_scale
-        print(json.dumps({impl: per_scale}), flush=True)
+        print(json.dumps({impl: per_scale, "reverse": args.reverse,
+                          "bt": BT}), flush=True)
     return results
 
 

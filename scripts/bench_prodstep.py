@@ -32,10 +32,11 @@ def time_step(impl: str, runs: int, batch_flow: bool = False,
               coupling_dtype: str | None = None,
               fold_weights: bool = True,
               packed_layout: object = False,
-              scan_unroll: int = 1) -> float:
+              scan_unroll: int = 1, chain_impl: str = "off") -> float:
     cfg, tcfg = rfn_mnist_production()
     cfg = dataclasses.replace(
         cfg, glow=dataclasses.replace(cfg.glow, coupling_impl=impl,
+                                      chain_impl=chain_impl,
                                       coupling_dtype=coupling_dtype,
                                       fold_weights=fold_weights,
                                       packed_layout=packed_layout)
@@ -89,7 +90,7 @@ def time_step(impl: str, runs: int, batch_flow: bool = False,
 
 def time_sample(impl: str, runs: int, fold_weights: bool = True,
                 packed_layout: object = False,
-                scan_unroll: int = 1) -> float:
+                scan_unroll: int = 1, chain_impl: str = "off") -> float:
     """Production-config predict rollout (warmup 5, predict 10) — the
     sampling path where coupling_impl='auto' engages the fused kernel on
     the deep scales (reverse direction, no grad/remat)."""
@@ -97,7 +98,8 @@ def time_sample(impl: str, runs: int, fold_weights: bool = True,
     cfg = dataclasses.replace(
         cfg, glow=dataclasses.replace(cfg.glow, coupling_impl=impl,
                                       fold_weights=fold_weights,
-                                      packed_layout=packed_layout)
+                                      packed_layout=packed_layout,
+                                      chain_impl=chain_impl)
     )
     model = RFN(cfg, scan_unroll=scan_unroll)
     b = tcfg.batch_size
@@ -140,6 +142,8 @@ def main():
                     help="packed x-stream layout (GlowConfig.packed_layout)")
     ap.add_argument("--scan_unroll", type=int, default=1,
                     help="lax.scan unroll factor for the loss/predict scans")
+    ap.add_argument("--chain", default="off", choices=["off", "sample", "all"],
+                    help="whole-scale chain kernel (GlowConfig.chain_impl)")
     args = ap.parse_args()
     _enable_cache()
     for impl in args.impls.split(","):
@@ -147,10 +151,11 @@ def main():
             dt = time_sample(impl, args.runs,
                              fold_weights=not args.no_fold,
                              packed_layout=args.packed or False,
-                             scan_unroll=args.scan_unroll)
+                             scan_unroll=args.scan_unroll,
+                             chain_impl=args.chain)
             print(json.dumps({
                 "impl": impl, "mode": "sample", "packed": args.packed,
-                "scan_unroll": args.scan_unroll,
+                "scan_unroll": args.scan_unroll, "chain": args.chain,
                 "rollout_ms": round(dt * 1000, 2),
                 "pred_frames_per_s": round(30 * 10 / dt, 1),
             }), flush=True)
@@ -159,12 +164,13 @@ def main():
                            batch=args.batch, fold_weights=not args.no_fold,
                            packed_layout=args.packed or False,
                            coupling_dtype=args.coupling_dtype,
-                           scan_unroll=args.scan_unroll)
+                           scan_unroll=args.scan_unroll,
+                           chain_impl=args.chain)
             bsz = args.batch or 30
             print(json.dumps({
                 "impl": impl, "packed": args.packed,
                 "batch_flow": args.batch_flow,
-                "scan_unroll": args.scan_unroll,
+                "scan_unroll": args.scan_unroll, "chain": args.chain,
                 "batch": bsz,
                 "coupling_dtype": args.coupling_dtype,
                 "loss_grad_ms": round(dt * 1000, 2),

@@ -420,3 +420,78 @@ def test_packed_layout_gradients_match(mode):
     jax.tree_util.tree_map(
         lambda a, b: np.testing.assert_allclose(a, b, atol=1e-4, rtol=1e-3),
         grads[mode], grads[False])
+
+
+@pytest.mark.parametrize("mode", ["sample", "all"])
+def test_listglow_chain_impl_equivalence(mode):
+    """GlowConfig.chain_impl routes each small-spatial scale's whole
+    K-step GlowStep chain through ONE pallas_call (glowchain kernel,
+    interpret mode on CPU); f/logdet/g must match the module path with
+    the same param tree. chain_impl='sample' engages on g only,
+    'all' on f too."""
+    from recurrent_flows_tpu.flows.glow import ListGlow
+
+    B, H, C = 2, 8, 4
+    x = jax.random.normal(jax.random.key(0), (B, H, H, C)) * 0.1
+    out = {}
+    for chain in ("off", mode):
+        cfg = GlowConfig(L=2, K=2, n_units_affine=8, n_units_prior=8,
+                         chain_impl=chain)
+        m = ListGlow(C, H, cfg)
+        conds_l = [
+            jax.random.normal(jax.random.key(10 + l),
+                              (B, H // 2 ** (l + 1), H // 2 ** (l + 1), 3))
+            for l in range(cfg.L)
+        ]
+        base_c = jax.random.normal(jax.random.key(20),
+                                   (B, H // 2 ** cfg.L, H // 2 ** cfg.L, 5))
+        v = m.init(jax.random.key(1), x, conds_l, base_c, jax.random.key(2))
+        p = jax.tree_util.tree_map(
+            lambda a: a + 0.1 * jax.random.normal(jax.random.key(3), a.shape)
+            if a.ndim == 1 else a, v["params"])
+        var = {"params": p, **{k: v[k] for k in v if k != "params"}}
+        z, ld = m.apply(var, x, conds_l, jnp.zeros(B), method=ListGlow.f)
+        xg = m.apply(var, z, conds_l, jax.random.key(4), method=ListGlow.g)
+        out[chain] = (z, ld, xg, jax.tree_util.tree_structure(v))
+    np.testing.assert_allclose(out[mode][0], out["off"][0], atol=3e-5,
+                               rtol=3e-5)
+    np.testing.assert_allclose(out[mode][1], out["off"][1], atol=2e-3,
+                               rtol=1e-5)
+    # same rng stream -> identical g samples across implementations
+    np.testing.assert_allclose(out[mode][2], out["off"][2], atol=3e-5,
+                               rtol=3e-5)
+    assert out[mode][3] == out["off"][3]
+
+
+def test_chain_impl_gradients_match():
+    """loss+grad with chain_impl='all' (pallas fwd, jnp-remat VJP) == the
+    module path."""
+    from recurrent_flows_tpu.flows.glow import ListGlow
+
+    B, H, C = 2, 8, 4
+    x = jax.random.normal(jax.random.key(0), (B, H, H, C)) * 0.1
+    grads, vals = {}, {}
+    for chain in ("off", "all"):
+        cfg = GlowConfig(L=2, K=2, n_units_affine=8, n_units_prior=8,
+                         chain_impl=chain)
+        m = ListGlow(C, H, cfg)
+        conds_l = [
+            jax.random.normal(jax.random.key(10 + l),
+                              (B, H // 2 ** (l + 1), H // 2 ** (l + 1), 3))
+            for l in range(cfg.L)
+        ]
+        base_c = jax.random.normal(jax.random.key(20),
+                                   (B, H // 2 ** cfg.L, H // 2 ** cfg.L, 5))
+        v = m.init(jax.random.key(1), x, conds_l, base_c, jax.random.key(2))
+
+        def loss(p):
+            _, nll = m.apply({"params": p, **{k: v[k] for k in v if k != "params"}},
+                             x, conds_l, base_c, jax.random.key(5),
+                             method=ListGlow.log_prob)
+            return jnp.mean(nll)
+
+        vals[chain], grads[chain] = jax.value_and_grad(loss)(v["params"])
+    np.testing.assert_allclose(vals["all"], vals["off"], rtol=1e-5)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(a, b, atol=1e-4, rtol=1e-3),
+        grads["all"], grads["off"])
