@@ -335,6 +335,11 @@ class ListGlow(nn.Module):
             and cfg.non_lin == "relu"
             and not ddi
             and not self.is_initializing()
+            # <=256 (8x8 and deeper after the 16x16 boundary): 32x32 was
+            # tried with batch tiling (no halos needed) and measured a
+            # DISASTER — prod rollout 49.9 ms vs 27.1 baseline; XLA's
+            # native conv beats the kernel's shifted-matmul formulation
+            # at 30k rows (docs/PERF.md round 3e)
             and x.shape[1] * x.shape[2] <= 256
         )
 

@@ -31,8 +31,8 @@ from recurrent_flows_tpu.ops.pallas.glowchain import (
 )
 from recurrent_flows_tpu.ops.pallas.glowstep import GlowStepParams
 
-# production flow scales with H*W <= 256 (the chain gate), B=30
-SCALES = [(16, 8, 32), (8, 16, 64), (4, 32, 128), (2, 64, 256)]
+# production flow scales with H*W <= 1024 (the chain gate), B=30
+SCALES = [(32, 4, 16), (16, 8, 32), (8, 16, 64), (4, 32, 128), (2, 64, 256)]
 B = int(os.environ.get("GC_B", "30"))
 U = 256
 

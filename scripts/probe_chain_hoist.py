@@ -41,6 +41,10 @@ def main():
         return jnp.sum(preds)
 
     txt = rollout.lower(variables, x, jax.random.key(3)).compile().as_text()
+    dump = os.environ.get("HLO_DUMP")
+    if dump:
+        open(dump, "w").write(txt)
+        print("dumped", dump, len(txt), flush=True)
     # split computations; while bodies are those named *body* or referenced
     # by while ops' body= attributes
     comps = re.split(r"\n(?=%?\w[\w.-]* \()", txt)

@@ -106,3 +106,46 @@ def test_fused_falls_back_on_large_spatial():
     v = s.init(jax.random.key(2), x, cond)
     z, ld = s.apply(v, x, cond, jnp.zeros(2))
     assert np.isfinite(np.asarray(z)).all() and np.isfinite(np.asarray(ld)).all()
+
+
+@pytest.mark.fast
+def test_glowchain_multi_tile_matches_jnp_chain():
+    """glowchain kernel with a multi-tile batch grid (b > batch tile,
+    b not a tile multiple -> zero-pad + slice-back) and streamed [K,...]
+    params == the jnp reference chain, both directions. Covers the
+    carry-init-per-batch-tile logic the single-tile ListGlow tests miss."""
+    from recurrent_flows_tpu.ops.pallas.glowchain import (
+        glowchain_fused,
+        glowchain_jnp,
+    )
+    from recurrent_flows_tpu.ops.pallas.glowstep import (
+        GlowStepParams,
+        _pick_batch_tile,
+    )
+
+    b, h, c, cc, u, k = 12, 16, 4, 3, 8, 3
+    assert _pick_batch_tile(b, h, h) < b  # the point: multiple batch tiles
+    ks = iter(jax.random.split(jax.random.key(0), 16))
+
+    def n(shape, scale=0.1):
+        return jax.random.normal(next(ks), shape, jnp.float32) * scale
+
+    half, ca = c // 2, c // 2 + cc
+    ps = GlowStepParams(
+        an_bias=n((k, c)), an_logs=n((k, c)),
+        w1x1=jnp.tile(jnp.eye(c)[None], (k, 1, 1)) + n((k, c, c)),
+        wa=n((k, 9, ca, u)), ana_bias=n((k, u)), ana_logs=n((k, u)),
+        wb=n((k, u, u)), anb_bias=n((k, u)), anb_logs=n((k, u)),
+        wc=n((k, 9, u, c)), bias_c=n((k, c)),
+        clamp_scale=jnp.ones((k, half)), clamp_shift=jnp.zeros((k, half)),
+    )
+    x = jax.random.normal(next(ks), (b, h, h, c))
+    cond = jax.random.normal(next(ks), (b, h, h, cc))
+    for reverse in (False, True):
+        y_k, ld_k = glowchain_fused(x, cond, ps, "realnvp", reverse)
+        y_j, ld_j = glowchain_jnp(x, cond, ps, clamp_type="realnvp",
+                                  reverse=reverse)
+        np.testing.assert_allclose(np.asarray(y_k), np.asarray(y_j),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(ld_k), np.asarray(ld_j[:, 0]),
+                                   rtol=1e-5, atol=1e-4)
