@@ -90,7 +90,8 @@ def time_step(impl: str, runs: int, batch_flow: bool = False,
 
 def time_sample(impl: str, runs: int, fold_weights: bool = True,
                 packed_layout: object = False,
-                scan_unroll: int = 1, chain_impl: str = "off") -> float:
+                scan_unroll: int = 1, chain_impl: str = "off",
+                batch: int | None = None) -> float:
     """Production-config predict rollout (warmup 5, predict 10) — the
     sampling path where coupling_impl='auto' engages the fused kernel on
     the deep scales (reverse direction, no grad/remat)."""
@@ -102,7 +103,7 @@ def time_sample(impl: str, runs: int, fold_weights: bool = True,
                                       chain_impl=chain_impl)
     )
     model = RFN(cfg, scan_unroll=scan_unroll)
-    b = tcfg.batch_size
+    b = batch or tcfg.batch_size
     x = jax.random.uniform(
         jax.random.key(0), (b, 5, cfg.image_size, cfg.image_size, 1)
     ) - 0.5
@@ -152,12 +153,15 @@ def main():
                              fold_weights=not args.no_fold,
                              packed_layout=args.packed or False,
                              scan_unroll=args.scan_unroll,
-                             chain_impl=args.chain)
+                             chain_impl=args.chain, batch=args.batch)
+            bsz = args.batch or 30
             print(json.dumps({
                 "impl": impl, "mode": "sample", "packed": args.packed,
                 "scan_unroll": args.scan_unroll, "chain": args.chain,
+                "batch": bsz,
                 "rollout_ms": round(dt * 1000, 2),
-                "pred_frames_per_s": round(30 * 10 / dt, 1),
+                "latency_ms_per_frame": round(dt * 100, 2),
+                "pred_frames_per_s": round(bsz * 10 / dt, 1),
             }), flush=True)
         else:
             dt = time_step(impl, args.runs, batch_flow=args.batch_flow,
