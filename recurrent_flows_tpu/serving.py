@@ -109,3 +109,68 @@ class Predictor:
         return self._to_image_space(
             self._sample(self.variables, x, self._next_key(), n_frames)
         )
+
+    # -- deployment export ----------------------------------------------------
+
+    def export(self, path: Optional[str] = None, *, batch_size: int,
+               image_size: Optional[int] = None,
+               channels: Optional[int] = None,
+               platforms: Optional[tuple] = None) -> bytes:
+        """Serialize the end-to-end predict program to a self-contained
+        StableHLO artifact (``jax.export``): image-space preprocess ->
+        autoregressive rollout -> postprocess, with the weights embedded
+        as constants. The artifact is servable via :func:`load_exported`
+        (or any StableHLO runtime) WITHOUT this package's model code or
+        the checkpoint — the deployment story the reference (a research
+        repo with pickled torch modules) has no counterpart for.
+
+        Signature of the exported program:
+        ``(context [B, n_cond, H, W, C] float32 in [0,1], seed int32)
+        -> frames [B, n_pred, H, W, C] float32 in [0,1]``.
+
+        ``platforms``: target platforms for lowering (e.g. ('tpu', 'cpu'))
+        — defaults to the current backend only.
+        """
+        from jax import export as jax_export
+
+        img = image_size or getattr(self.model.cfg, "image_size", 64)
+        c = channels or getattr(self.model.cfg, "x_channels", 1)
+        t = self.tcfg
+
+        def serve(context, seed):
+            x = preprocess(context, t.n_bits, t.preprocess_range,
+                           t.preprocess_scale)
+            preds = self._predict(self.variables, x, jax.random.key(seed))
+            if t.preprocess_range == "0.5":
+                preds = preds + 0.5
+            elif t.preprocess_range == "minmax":
+                preds = (preds + 1.0) * 0.5
+            return jnp.clip(preds, 0.0, 1.0)
+
+        x_spec = jax.ShapeDtypeStruct(
+            (batch_size, self.n_conditions, img, img, c), jnp.float32)
+        seed_spec = jax.ShapeDtypeStruct((), jnp.int32)
+        kwargs = {}
+        if platforms is not None:
+            kwargs["platforms"] = tuple(platforms)
+        exported = jax_export.export(jax.jit(serve), **kwargs)(
+            x_spec, seed_spec)
+        blob = exported.serialize()
+        if path:
+            with open(path, "wb") as f:
+                f.write(blob)
+        return blob
+
+
+def load_exported(path_or_bytes):
+    """Deserialize a :meth:`Predictor.export` artifact into a jitted
+    callable ``(context, seed) -> frames`` — no model code, config, or
+    checkpoint needed."""
+    from jax import export as jax_export
+
+    blob = path_or_bytes
+    if isinstance(path_or_bytes, str):
+        with open(path_or_bytes, "rb") as f:
+            blob = f.read()
+    exported = jax_export.deserialize(bytearray(blob))
+    return jax.jit(exported.call)
