@@ -66,3 +66,27 @@ def test_export_roundtrip(tmp_path):
     direct = pred._to_image_space(
         pred._predict(variables, xm, jax.random.key(np.int32(7))))
     np.testing.assert_allclose(out, direct, atol=1e-6)
+
+
+def test_export_cli(tmp_path):
+    """export_serving CLI: checkpoint -> artifact file -> servable."""
+    from recurrent_flows_tpu.cli.export_serving import main as export_main
+    from recurrent_flows_tpu.serving import load_exported
+
+    cfg = tiny_cfg()
+    tcfg = TrainConfig(batch_size=2, n_frames=4, steps_per_epoch=1,
+                       beta_steps=10)
+    ds = MovingMNIST(seq_len=4, image_size=16, digit_size=8, num_digits=1)
+    tr = Trainer(RFN(cfg, remat=False), tcfg, ds,
+                 str(tmp_path)).build(run_ddi=False)
+    tr.train_epoch(steps=1)
+    tr.checkpoint("last")
+
+    out = str(tmp_path / "rfn.stablehlo")
+    export_main(["--checkpoint", str(tmp_path / "model_folder" / "last"),
+                 "--out", out, "--batch_size", "2",
+                 "--n_conditions", "2", "--n_predictions", "3"])
+    serve = load_exported(out)
+    ctx = np.asarray(ds.sample(jax.random.key(0), 2))[:, :2]
+    pred_frames = np.asarray(serve(ctx.astype(np.float32), 3))
+    assert pred_frames.shape == (2, 3, 16, 16, 1)
