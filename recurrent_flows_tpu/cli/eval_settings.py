@@ -164,6 +164,19 @@ def _evaluate_once(model, variables, tcfg, args, out_dir, temperature=None):
         results["fvd"] = ev.get_fvd_values(key, embedder=args.fvd_embedder)
     if hasattr(type(model), "elbo_importance_weighting"):
         results["iw_elbo_k20"] = ev.importance_weighted_elbo(key, K=20)
+    # RFN posterior-health diagnostics (reference get_eval_values records
+    # both into evaluations.pt, error_metrics.py:468-476, 555-562; VERDICT
+    # r3 Missing #2: implemented + unit-tested but never wired in here)
+    if hasattr(type(model), "probability_future"):
+        results["probability_future"] = {
+            k: v.tolist() if isinstance(v, np.ndarray) else v
+            for k, v in ev.probability_future_bpp(key).items()
+        }
+    if hasattr(type(model), "reconstruct_elbo_gap"):
+        results["elbo_gap"] = {
+            k: v.tolist() if isinstance(v, np.ndarray) else v
+            for k, v in ev.elbo_gap(key).items()
+        }
     if args.debug_plot:
         ev.plot_long_rollout(key, 40, os.path.join(out_dir, "long_rollout.png"))
         ev.plot_diversity(key, 4, os.path.join(out_dir, "diversity.png"))

@@ -218,6 +218,74 @@ class Evaluator:
             vals.append(float(v))
         return float(np.mean(vals))
 
+    def probability_future_bpp(self, key) -> Dict[str, np.ndarray]:
+        """BPP-vs-horizon curve under a FROZEN context at t=n_conditions,
+        for prior vs posterior latents (reference get_eval_values records
+        model.probability_future into evaluations.pt,
+        error_metrics.py:468-476). Returns mean/std bits-per-pixel tracks
+        [n_predictions] over the protocol's sequences.
+        """
+        if not hasattr(type(self.model), "probability_future"):
+            raise NotImplementedError("model has no probability_future API")
+        s = self.s
+
+        def fn(v, x, k):
+            return self.model.apply(v, x, s.n_conditions, k,
+                                    method="probability_future")
+
+        jfn = jax.jit(fn)
+        curves = []
+        for i in range(s.n_batches):
+            kb = jax.random.fold_in(key, 7000 + i)
+            x = self.data.sample(kb, s.batch_size)
+            x = x[:, : s.n_conditions + s.n_predictions]
+            nlls = jfn(self.variables, x, jax.random.fold_in(kb, 1))
+            dims = x.shape[2] * x.shape[3] * x.shape[4]
+            curves.append(np.asarray(nlls) / (math.log(2.0) * dims))
+        c = np.concatenate(curves, 0)  # [N_seq, 2, horizon]
+        return dict(
+            bpp_prior=c[:, 0].mean(0), bpp_posterior=c[:, 1].mean(0),
+            bpp_prior_std=c[:, 0].std(0), bpp_posterior_std=c[:, 1].std(0),
+            n_sequences=c.shape[0],
+        )
+
+    def elbo_gap(self, key) -> Dict[str, np.ndarray]:
+        """Per-frame prior/posterior NLL (bits/dim) + KL tracks — the
+        amortization / prior-mismatch diagnostic the thesis used to argue
+        posterior health (reference error_metrics.py:555-562 records
+        model.reconstruct_elbo_gap). Returns mean tracks [T-1] plus the
+        scalar amortization gap (prior NLL - posterior NLL, bits/dim).
+        """
+        if not hasattr(type(self.model), "reconstruct_elbo_gap"):
+            raise NotImplementedError("model has no reconstruct_elbo_gap API")
+        s = self.s
+
+        def fn(v, x, k):
+            _, _, kld, nll = self.model.apply(
+                v, x, k, False, method="reconstruct_elbo_gap"
+            )
+            return kld, nll
+
+        jfn = jax.jit(fn)
+        klds, nlls = [], []
+        for i in range(s.n_batches):
+            kb = jax.random.fold_in(key, 8000 + i)
+            x = self.data.sample(kb, s.batch_size)
+            x = x[:, : s.n_conditions + s.n_predictions]
+            kld, nll = jfn(self.variables, x, jax.random.fold_in(kb, 1))
+            dims = x.shape[2] * x.shape[3] * x.shape[4]
+            scale = math.log(2.0) * dims
+            klds.append(np.asarray(kld).T / scale)      # [B, T-1]
+            nlls.append(np.asarray(nll).transpose(2, 0, 1) / scale)
+        kld = np.concatenate(klds, 0)   # [N_seq, T-1]
+        nll = np.concatenate(nlls, 0)   # [N_seq, 2, T-1] (0=prior, 1=post)
+        return dict(
+            nll_prior=nll[:, 0].mean(0), nll_posterior=nll[:, 1].mean(0),
+            kld=kld.mean(0),
+            amortization_gap=float((nll[:, 0] - nll[:, 1]).mean()),
+            n_sequences=kld.shape[0],
+        )
+
     # ------------------------------------------------------------------
     def plot_long_rollout(self, key, n_frames: int = 80, path: Optional[str] = None):
         """80-frame rollout grid (reference plot_long_t :1220-1258)."""
@@ -242,7 +310,11 @@ class Evaluator:
         rows = []
         for t in temperatures:
             cfg_t = dataclasses.replace(self.model.cfg, temperature=t)
-            model_t = type(self.model)(cfg_t, remat=getattr(self.model, "remat", True))
+            # clone() keeps every other module attribute (eval_norm, remat,
+            # ...) — re-constructing from (cfg, remat) silently dropped
+            # eval_norm on track_running_stats checkpoints (round-3 verdict,
+            # "what's weak" #4), reverting the sweep to batch-stats norm
+            model_t = self.model.clone(cfg=cfg_t)
             for kt in kl_temperatures:
                 try:
                     _, preds = model_t.apply(

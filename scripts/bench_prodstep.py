@@ -72,8 +72,10 @@ def time_step(impl: str, runs: int, batch_flow: bool = False,
         cost = step.lower(params, x, jax.random.key(3),
                           jnp.float32(0.0)).compile().cost_analysis()
         time_step.flops = float(cost.get("flops", 0.0))
+        time_step.bytes = float(cost.get("bytes accessed", 0.0))
     except Exception:
         time_step.flops = 0.0
+        time_step.bytes = 0.0
     # VALIDATED timing (round 3): block_until_ready is a no-op on this
     # axon backend (scripts/probe_rollout_timing.py), so each dispatch is
     # CHAINED on the previous loss (inside the jit) to force on-device

@@ -45,6 +45,12 @@ def test_main_rfn_and_eval(tmp_path):
     ])
     assert np.isfinite(res["dataset_bpd"])
     assert "fvd" in res
+    # RFN posterior-health diagnostics ride in the protocol artifact
+    # (VERDICT r3 Missing #2; reference error_metrics.py:468-476,555-562)
+    assert len(res["probability_future"]["bpp_prior"]) == 2
+    assert np.all(np.isfinite(res["probability_future"]["bpp_posterior"]))
+    assert np.isfinite(res["elbo_gap"]["amortization_gap"])
+    assert np.all(np.isfinite(res["elbo_gap"]["kld"]))
     # resume path: load_model restores counters
     tr2 = main_rfn.main(_TINY_RFN + ["--path", path, "--load_model"])
     assert tr2.counter >= tr.counter
