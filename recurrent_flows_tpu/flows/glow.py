@@ -13,6 +13,7 @@ from typing import Sequence
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 
 from ..config import GlowConfig, packed_mode
 from ..nn.layers import act
@@ -385,6 +386,7 @@ class ListGlow(nn.Module):
                     z, logdet = self.splits[l](
                         z, conditions[l], logdet, reverse=False, ddi=ddi
                     )
+                z = checkpoint_name(z, "flow_x")
                 continue
             if packed:
                 z = pack_cw(z) if packed == "lanes" else pack_chw(z)
@@ -392,12 +394,18 @@ class ListGlow(nn.Module):
                 z, logdet = self.steps[l][k](
                     z, conditions[l], logdet, reverse=False, training=training, ddi=ddi
                 )
+                # tag the step carry for selective remat: under the
+                # 'save_flow_x' policy (models/rfn.py) the backward reuses
+                # these instead of replaying the serial chain. A no-op
+                # identity under any other policy / no remat.
+                z = checkpoint_name(z, "flow_x")
             if packed:
                 z = unpack_cw(z, c) if packed == "lanes" else unpack_chw(z, h, w)
             if l < cfg.L - 1:
                 z, logdet = self.splits[l](
                     z, conditions[l], logdet, reverse=False, ddi=ddi
                 )
+                z = checkpoint_name(z, "flow_x")
         return z, logdet
 
     def g(self, z, conditions: Sequence, rng, temperature: float = 1.0,

@@ -312,7 +312,15 @@ class RFN(nn.Module):
             return (zt, zxt), out
 
         if self.remat and self.remat_policy:
-            pol = getattr(jax.checkpoint_policies, self.remat_policy)
+            if self.remat_policy == "save_flow_x":
+                # save the flow's per-GlowStep x carries (tagged with
+                # checkpoint_name in ListGlow.f): the backward then skips
+                # re-running the 50-step SERIAL flow chain — each step's
+                # coupling intermediates are recomputed from its saved
+                # input in PARALLEL. ~10 MB/frame extra HBM.
+                pol = jax.checkpoint_policies.save_only_these_names("flow_x")
+            else:
+                pol = getattr(jax.checkpoint_policies, self.remat_policy)
             step_fn = jax.checkpoint(step, policy=pol)
         elif self.remat:
             step_fn = jax.checkpoint(step)

@@ -68,6 +68,76 @@ def _chain_time(fn, args, runs):
     return ms, gflop, gbytes, roof
 
 
+def _build_scale(l: int, overrides: dict):
+    hw = 32 // (2 ** l)
+    c = 4 * (2 ** l)
+    cc = 16 * (2 ** l)
+    cfg = GlowConfig(L=1, K=10, learn_prior=False, **overrides)
+    m = ListGlow(in_channels=c // 4, image_size=hw * 2, cfg=cfg)
+    kx, kc, ki = jax.random.split(jax.random.key(l), 3)
+    x = jax.random.normal(kx, (B, hw * 2, hw * 2, c // 4))
+    cond = jax.random.normal(kc, (B, hw, hw, cc))
+    v = m.init(ki, x, [cond], None, jax.random.key(9))
+
+    def nll(p, xx):
+        _, out = m.apply(
+            {"params": p, "consts": v.get("consts", {})}, xx, [cond], None,
+            dequantize=False, method="log_prob",
+        )
+        return jnp.mean(out)
+
+    return nll, v["params"], x
+
+
+def probe_scale_slope(l: int, runs: int, overrides: dict,
+                      r_lo: int = 2, r_hi: int = 8):
+    """Honest in-program per-iteration cost: scan the scale's chain R
+    times inside ONE jit (iterations serialized by a data dependence),
+    time at R=r_lo and R=r_hi, report the slope. This cancels the
+    per-executable dispatch floor that poisons the standalone numbers
+    (scale 4 standalone: 2.4 ms vs 0.28 ms roofline — the floor, not
+    the chain)."""
+    nll, params, x = _build_scale(l, overrides)
+
+    def make(R, with_grad):
+        def body(carry, _):
+            x_r, acc = carry
+            lm = nll(params, x_r)
+            return (x_r * (1.0 + 1e-8 * lm), acc + lm), None
+
+        def f(xx):
+            (_, acc), _ = jax.lax.scan(body, (xx, 0.0), None, length=R)
+            return acc
+
+        if with_grad:
+            def g(xx):
+                def lp(p):
+                    def body_p(carry, _):
+                        x_r, acc = carry
+                        lm = nll(p, x_r)
+                        return (x_r * (1.0 + 1e-8 * lm), acc + lm), None
+                    (_, acc), _ = jax.lax.scan(body_p, (xx, 0.0), None,
+                                               length=R)
+                    return acc
+                val, grads = jax.value_and_grad(lp)(params)
+                return val + sum(jnp.sum(t) for t in
+                                 jax.tree_util.tree_leaves(grads))
+            return g
+        return f
+
+    for variant, with_grad in (("fwd", False), ("fwd+grad", True)):
+        times = {}
+        for R in (r_lo, r_hi):
+            ms, _, _, _ = _chain_time(make(R, with_grad), (x,), runs)
+            times[R] = ms
+        slope = (times[r_hi] - times[r_lo]) / (r_hi - r_lo)
+        print(json.dumps(dict(
+            scale=l, variant=f"{variant}/iter(slope)", ms=round(slope, 3),
+            ms_lo=round(times[r_lo], 3), ms_hi=round(times[r_hi], 3),
+            r_lo=r_lo, r_hi=r_hi,
+        )), flush=True)
+
+
 def probe_scale(l: int, runs: int, grad_only: bool, overrides: dict):
     hw = 32 // (2 ** l)
     c = 4 * (2 ** l)
@@ -112,6 +182,9 @@ def main():
     ap.add_argument("--runs", type=int, default=20)
     ap.add_argument("--scales", default="0,1,2,3,4")
     ap.add_argument("--grad-only", action="store_true")
+    ap.add_argument("--slope", action="store_true",
+                    help="in-program scan-repeat slope timing (honest "
+                         "per-iteration cost, dispatch floor cancelled)")
     ap.add_argument("--set", default="",
                     help="GlowConfig overrides, e.g. coupling_dtype=bfloat16")
     args = ap.parse_args()
@@ -125,7 +198,10 @@ def main():
             val = val == "True"
         overrides[k] = val
     for l in (int(s) for s in args.scales.split(",")):
-        probe_scale(l, args.runs, args.grad_only, overrides)
+        if args.slope:
+            probe_scale_slope(l, args.runs, overrides)
+        else:
+            probe_scale(l, args.runs, args.grad_only, overrides)
 
 
 if __name__ == "__main__":

@@ -173,6 +173,16 @@ def main():
                         jax.value_and_grad(lstm_loss), (params, x),
                         args.runs)
 
+    if 8 in only:
+        # selective remat: save the flow's per-GlowStep carries
+        # (checkpoint_name 'flow_x') so the backward skips replaying the
+        # 50-step SERIAL chain; coupling intermediates recompute from the
+        # saved carries in parallel. ~10 MB/frame extra HBM.
+        m8, _ = build(remat=True, remat_policy="save_flow_x")
+        _time_and_gflop("loss+grad remat=policy(save_flow_x)",
+                        jax.value_and_grad(loss_of(m8)),
+                        (params, x, jax.random.key(3)), args.runs)
+
     if 7 in only:
         # one per-timestep flow NLL fwd+grad at B=30 (the scan body's flow
         # share; the full step runs this 9x fwd + 9x bwd-with-remat)

@@ -161,3 +161,29 @@ def test_scan_unroll_equivalence():
     _, p4 = model4.apply(v, x, 3, 2, jax.random.key(5), method=RFN.predict)
     np.testing.assert_allclose(np.asarray(p1), np.asarray(p4),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_save_flow_x_remat_policy_equivalence():
+    """remat_policy='save_flow_x' is a pure memory/schedule knob: loss and
+    per-tensor gradients must match the plain-remat step exactly."""
+    cfg = tiny_cfg()
+    model, v, x = make(cfg)
+    m_plain = RFN(cfg, remat=True)
+    m_save = RFN(cfg, remat=True, remat_policy="save_flow_x")
+
+    def loss_fn(m):
+        def f(params):
+            out = m.apply({**v, "params": params}, x, jax.random.key(3),
+                          method=RFN.loss)
+            return out["nll"] + out["kl_free_bits"]
+        return f
+
+    l1, g1 = jax.value_and_grad(loss_fn(m_plain))(v["params"])
+    l2, g2 = jax.value_and_grad(loss_fn(m_save))(v["params"])
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+    flat1 = jax.tree_util.tree_leaves_with_path(g1)
+    flat2 = jax.tree_util.tree_leaves_with_path(g2)
+    for (p1, t1), (_, t2) in zip(flat1, flat2):
+        np.testing.assert_allclose(
+            np.asarray(t1), np.asarray(t2), rtol=1e-5, atol=1e-7,
+            err_msg=jax.tree_util.keystr(p1))
