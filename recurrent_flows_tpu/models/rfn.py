@@ -55,12 +55,16 @@ class RFN(nn.Module):
     # scanned form wins); kept as an opt-in structure for future configs
     # with larger T or deeper flows. scripts/bench_prodstep.py measures it.
     batch_flow: bool = False
-    # optional jax.checkpoint policy name for the scan-body remat (e.g.
-    # 'dots_saveable': save matmul outputs, recompute elementwise only —
-    # a middle ground between remat on/off). Any attribute name from
-    # jax.checkpoint_policies; None = plain full remat. Measured in
-    # scripts/profile_prodstep.py.
-    remat_policy: str | None = None
+    # jax.checkpoint policy name for the scan-body remat. Default
+    # 'save_flow_x': save the flow's per-GlowStep carries (tagged with
+    # checkpoint_name in ListGlow.f) so the backward recomputes each
+    # step's coupling intermediates from its saved input in PARALLEL
+    # instead of replaying the 50-step SERIAL chain — measured 98.6 vs
+    # 102.7 ms on the prod train step (+4.1%, scripts/profile_prodstep.py
+    # --only 2,8), ~10 MB/frame extra HBM. Any other attribute name from
+    # jax.checkpoint_policies also works ('dots_saveable' measured and
+    # rejected, docs/PERF.md); None = plain full remat.
+    remat_policy: str | None = "save_flow_x"
     # lax.scan unroll factor for the per-step loss scan and the
     # autoregressive predict rollout. >1 packs that many (still
     # individually remat'd) steps per loop iteration, removing scan

@@ -8,6 +8,11 @@ import os
 # Force-assign: the environment's sitecustomize pins JAX_PLATFORMS=axon (TPU
 # tunnel); tests must run on a virtual 8-device CPU mesh.
 os.environ["JAX_PLATFORMS"] = "cpu"
+# Tests get their OWN persistent-compile-cache dir: sharing ~/.cache with
+# concurrently running TPU benchmark processes produced a native crash in
+# jax's cache serializer (segfault in put_executable_and_time under
+# concurrent writes). CPU test compiles are cheap; isolation > reuse.
+os.environ.setdefault("RFT_COMPILATION_CACHE", "/tmp/rft_test_xla_cache")
 os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
 )

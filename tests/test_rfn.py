@@ -168,7 +168,7 @@ def test_save_flow_x_remat_policy_equivalence():
     per-tensor gradients must match the plain-remat step exactly."""
     cfg = tiny_cfg()
     model, v, x = make(cfg)
-    m_plain = RFN(cfg, remat=True)
+    m_plain = RFN(cfg, remat=True, remat_policy=None)  # plain full remat
     m_save = RFN(cfg, remat=True, remat_policy="save_flow_x")
 
     def loss_fn(m):
