@@ -19,6 +19,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from jax.ad_checkpoint import checkpoint_name
+
 from ..nn.layers import act
 from ..utils.numerics import batch_reduce, normal_log_prob, split_feature
 
@@ -239,7 +241,10 @@ class Conv2dNorm(nn.Module):
                                   use_bias=False, name="conv")(x.shape[-1])
             an = ActNorm(self.out_channels, name="actnorm")
             g = jnp.exp(an.logs)
-            kern = (kern * g).astype(x.dtype)
+            # 'flow_w' tag: under RFN.remat_policy='save_flow_full' the
+            # folded kernels are saved across the scan remat instead of
+            # being re-assembled (one tiny dispatch each) in the backward
+            kern = checkpoint_name((kern * g).astype(x.dtype), "flow_w")
             b = (an.bias * g).astype(x.dtype)
             return jax.lax.conv_general_dilated(
                 x, kern, (1, 1), ((p, p), (p, p)),
@@ -374,17 +379,20 @@ class InvConv(nn.Module):
                 return jnp.repeat(v, wp)
             return v[:, None] if packed else v
 
+        # 'flow_w' tags: under RFN.remat_policy='save_flow_full' the
+        # assembled (LU-multiplied, actnorm-scaled) 1x1 weights are saved
+        # across the scan remat instead of re-assembled in the backward
         if fold_bias is not None and not reverse:
             e_s = jnp.exp(fold_logs)
             shift = (fold_bias * e_s) @ weight.T  # shift_d = Σ_c b_c e^{s_c} W[d,c]
-            z = mm(x, weight * e_s[None, :]) + vec(shift)
+            z = mm(x, checkpoint_name(weight * e_s[None, :], "flow_w")) + vec(shift)
             dlogdet = dlogdet + jnp.sum(fold_logs) * hw
         elif fold_bias is not None:
             # weight is already W⁻¹ here; x_d = e^{-s_d}(y·W⁻ᵀ)_d - b_d
             z = mm(x, weight * jnp.exp(-fold_logs)[:, None]) - vec(fold_bias)
             dlogdet = dlogdet + jnp.sum(fold_logs) * hw
         else:
-            z = mm(x, weight)
+            z = mm(x, checkpoint_name(weight, "flow_w"))
         if logdet is not None:
             logdet = logdet - dlogdet if reverse else logdet + dlogdet
         return z, logdet

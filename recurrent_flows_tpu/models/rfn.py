@@ -27,6 +27,7 @@ from __future__ import annotations
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 
 from ..config import RFNConfig
 from ..flows.glow import ListGlow
@@ -176,7 +177,11 @@ class RFN(nn.Module):
             conds = [jnp.concatenate([c, s], axis=-1) for c, s in zip(conds, skips_prev)]
         elif cfg.skip_connection_flow == "only_skip":
             conds = list(skips_prev)
-        return conds, hz
+        # 'flow_cond' tags: under remat_policy='save_flow_full' the per-step
+        # upscaler outputs are saved across the scan remat (~3 MB/frame at
+        # thesis shapes) so the backward skips re-running the upscaler
+        conds = [checkpoint_name(c, "flow_cond") for c in conds]
+        return conds, checkpoint_name(hz, "flow_cond")
 
     # ------------------------------------------------------------------
     def __call__(self, x, rng):
@@ -323,6 +328,19 @@ class RFN(nn.Module):
                 # coupling intermediates are recomputed from its saved
                 # input in PARALLEL. ~10 MB/frame extra HBM.
                 pol = jax.checkpoint_policies.save_only_these_names("flow_x")
+            elif self.remat_policy == "save_flow_full":
+                # additionally save the per-step upscaler conditions
+                # ('flow_cond', ~3 MB/frame) and the assembled/folded 1x1
+                # and conv weights ('flow_w', KBs): the backward skips the
+                # upscaler replay and the per-step weight re-assembly too
+                pol = jax.checkpoint_policies.save_only_these_names(
+                    "flow_x", "flow_cond", "flow_w"
+                )
+            elif self.remat_policy == "save_flow_xc":
+                # flow_x + upscaler conditions, but weights re-assembled
+                pol = jax.checkpoint_policies.save_only_these_names(
+                    "flow_x", "flow_cond"
+                )
             else:
                 pol = getattr(jax.checkpoint_policies, self.remat_policy)
             step_fn = jax.checkpoint(step, policy=pol)

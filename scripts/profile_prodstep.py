@@ -183,6 +183,21 @@ def main():
                         jax.value_and_grad(loss_of(m8)),
                         (params, x, jax.random.key(3)), args.runs)
 
+    if 9 in only:
+        # save_flow_x + upscaler conditions ('flow_cond') + assembled 1x1 /
+        # folded conv weights ('flow_w'): backward also skips the upscaler
+        # replay and per-step weight re-assembly (~3 MB/frame more HBM)
+        m9, _ = build(remat=True, remat_policy="save_flow_full")
+        _time_and_gflop("loss+grad remat=policy(save_flow_full)",
+                        jax.value_and_grad(loss_of(m9)),
+                        (params, x, jax.random.key(3)), args.runs)
+
+    if 10 in only:
+        m10, _ = build(remat=True, remat_policy="save_flow_xc")
+        _time_and_gflop("loss+grad remat=policy(save_flow_xc)",
+                        jax.value_and_grad(loss_of(m10)),
+                        (params, x, jax.random.key(3)), args.runs)
+
     if 7 in only:
         # one per-timestep flow NLL fwd+grad at B=30 (the scan body's flow
         # share; the full step runs this 9x fwd + 9x bwd-with-remat)

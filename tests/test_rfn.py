@@ -163,13 +163,14 @@ def test_scan_unroll_equivalence():
                                rtol=1e-5, atol=1e-6)
 
 
-def test_save_flow_x_remat_policy_equivalence():
-    """remat_policy='save_flow_x' is a pure memory/schedule knob: loss and
-    per-tensor gradients must match the plain-remat step exactly."""
+@pytest.mark.parametrize("policy", ["save_flow_x", "save_flow_full"])
+def test_save_flow_remat_policy_equivalence(policy):
+    """The selective remat policies are pure memory/schedule knobs: loss
+    and per-tensor gradients must match the plain-remat step exactly."""
     cfg = tiny_cfg()
     model, v, x = make(cfg)
     m_plain = RFN(cfg, remat=True, remat_policy=None)  # plain full remat
-    m_save = RFN(cfg, remat=True, remat_policy="save_flow_x")
+    m_save = RFN(cfg, remat=True, remat_policy=policy)
 
     def loss_fn(m):
         def f(params):
