@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import math
 import os
+import time as _time
 from typing import Any, Optional
 
 import jax
@@ -250,6 +251,7 @@ class Trainer:
         tcfg = self.tcfg
         pending = []  # device metrics, fetched in bulk at epoch end (no
         # per-step host sync — latency matters through remote-TPU links)
+        t_epoch0 = _time.perf_counter()
         for step_i in range(steps):
             time_this = step_i % 50 == 0
             if time_this:
@@ -282,7 +284,10 @@ class Trainer:
             if self.stop:
                 break
         if pending:
-            fetched = jax.device_get(pending)
+            fetched = jax.device_get(pending)  # bulk sync: closes the
+            # sustained-throughput window (async enqueue drained here)
+            self.step_timer.note_window(
+                len(pending), _time.perf_counter() - t_epoch0)
             t = tcfg.n_frames - 1
             for m in fetched:
                 self.losses.append(float(m["loss"]) / t)

@@ -33,8 +33,12 @@ def test_profiler_trace_and_timer(tmp_path):
             timer.start()
             y = jnp.sum(jnp.ones((256, 256)) @ jnp.ones((256, 256)))
             timer.stop(y)
+    timer.note_window(10, 2.0)  # compile window (dropped by stats)
+    timer.note_window(10, 1.0)
     stats = timer.stats()
-    assert stats["n"] >= 1 and stats["mean_s"] > 0
+    assert stats["drain_n"] >= 1 and stats["drain_mean_s"] > 0
+    # sustained throughput comes from the post-compile window only
+    assert stats["steps_per_s"] == 10.0 and stats["n_windows"] == 1
     # the trace context wrote profiler artifacts
     assert any(os.scandir(tmp_path)), "no profiler output written"
 
