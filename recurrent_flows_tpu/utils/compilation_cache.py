@@ -13,6 +13,34 @@ _DEFAULT = os.path.expanduser("~/.cache/recurrent_flows_tpu/xla")
 _enabled = False
 
 
+def _host_fingerprint() -> str:
+    """Key the cache by host CPU features.
+
+    XLA:CPU persists AOT executables specialized to the compiling
+    machine's ISA extensions; loading them on a host with different
+    features is undefined ("could lead to execution errors such as
+    SIGILL" per cpu_aot_loader) — observed as a hard abort inside
+    compilation_cache.get_executable_and_time when this VM migrated to
+    a different CPU generation. Partitioning the directory by a
+    cpuinfo-flags hash makes a host change a cache MISS instead of a
+    crash. (TPU executables re-key too on host moves — one ~6 min
+    recompile, then warm again.)
+    """
+    import hashlib
+    import platform
+
+    src = platform.machine()
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    src += line
+                    break
+    except OSError:  # pragma: no cover - non-procfs platforms
+        pass
+    return hashlib.sha1(src.encode()).hexdigest()[:12]
+
+
 def enable(path: str | None = None) -> bool:
     global _enabled
     if _enabled:
@@ -21,6 +49,7 @@ def enable(path: str | None = None) -> bool:
     if env == "0":
         return False
     path = path or env or _DEFAULT
+    path = os.path.join(path, _host_fingerprint())
     try:
         import jax
 

@@ -104,23 +104,45 @@ def main():
     emit("host_f32", *rate(fc.sample_numpy, args.batches))
 
     if args.device:
+        # Slope method (docs/PERF.md round-3 correction): on the axon
+        # remote backend block_until_ready is a no-op, so per-call
+        # timing measures enqueue rate. Instead chain k transfers with
+        # a device-side scalar dependency on EVERY transferred batch,
+        # value-fetch once, and take the slope over k — the link
+        # constant (RTT, dispatch floor) cancels.
+        import time
+
         import jax
         import jax.numpy as jnp
 
         dev = jax.devices()[0]
-
-        def put_f32():
-            jax.device_put(fc.sample_numpy(), dev).block_until_ready()
-
-        emit("device_f32", *rate(put_f32, min(args.batches, 60), warmup=5))
-
         to_f32 = jax.jit(lambda u: u.astype(jnp.float32) / 255.0)
+        peek = jax.jit(lambda s, x: s + x.reshape(-1)[0])
 
-        def put_u8():
-            lib.fc_next_batch(h, buf.ctypes.data_as(p8))
-            to_f32(jax.device_put(buf, dev)).block_until_ready()
+        def chain(k, mode):
+            s = jnp.zeros((), jnp.float32)
+            for _ in range(k):
+                if mode == "f32":
+                    x = jax.device_put(fc.sample_numpy(), dev)
+                else:
+                    lib.fc_next_batch(h, buf.ctypes.data_as(p8))
+                    x = to_f32(jax.device_put(buf, dev))
+                s = peek(s, x)
+            return float(jax.device_get(s))
 
-        emit("device_u8", *rate(put_u8, min(args.batches, 60), warmup=5))
+        def slope(mode, k1=8, k2=32, reps=3):
+            chain(3, mode)  # warm compile + transfer path
+            per = []
+            for _ in range(reps):
+                t0 = time.perf_counter(); chain(k1, mode)
+                t1 = time.perf_counter(); chain(k2, mode)
+                t2 = time.perf_counter()
+                per.append(((t2 - t1) - (t1 - t0)) / (k2 - k1))
+            ms = min(per) * 1e3  # min over reps: least-interference
+            return (B * T) / (ms / 1e3), ms
+
+        emit("device_f32_slope", *slope("f32"))
+        emit("device_u8wire_slope", *slope("u8"))
     fc.close()
 
 
