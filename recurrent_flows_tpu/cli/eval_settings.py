@@ -202,6 +202,21 @@ def main(argv=None):
         res = _evaluate_once(model, variables, tcfg, args, out_dir, t)
         all_results[str(t)] = res
     payload = all_results if args.temperatures else next(iter(all_results.values()))
+    # self-describing provenance so the artifact can be archived as-is
+    # (reference bundles run context alongside evaluations.pt)
+    payload["_meta"] = dict(
+        checkpoint=os.path.join(args.path, args.checkpoint),
+        model_class=meta.get("model_class"),
+        epoch=meta.get("epoch"),
+        step=meta.get("counter"),
+        protocol=("thesis_protocol" if args.thesis_protocol else "custom"),
+        n_conditions=args.n_conditions,
+        n_predictions=args.n_predictions,
+        resamples=args.resamples,
+        n_sequences=args.n_sequences,
+        temperature=(args.temperatures or args.temperature),
+        data_source=tcfg.choose_data,
+    )
     with open(os.path.join(out_dir, "evaluations.json"), "w") as f:
         json.dump(payload, f, indent=2, default=float)
     with open(os.path.join(out_dir, "eval_avg_losses.txt"), "a") as f:
