@@ -133,6 +133,20 @@ class GlowConfig:
     #   'sample' : the sampling/eval g-pass only (reverse, no grad)
     #   'all'    : f and g (f's backward is a jnp-remat VJP)
     chain_impl: str = "off"
+    # dual-stream scale executor for the f (density) direction: carry
+    # (z1, z2) as separate arrays through a scale's K GlowSteps instead of
+    # one concatenated x. Removes, per step: the [*, C] output concat, the
+    # big [z1 | condition] coupling-net input concat (the conv is split
+    # into conv(z1, W_z) + conv(cond, W_c) — the condition is K-invariant
+    # but its concat copy was paid every step), and the strided 'cross'
+    # output gathers (the net2 kernel is pre-permuted so shift/scale are
+    # contiguous slices, same trick as the fused kernel). The K per-step
+    # coupling logdet reductions merge into ONE per-scale reduction.
+    # Exact same math up to float reassociation — equivalence tests in
+    # tests/test_flows.py; measured A/B in docs/PERF.md round 4.
+    # Requires actnorm flow/coupling norms + fold_weights, NHWC (no packed
+    # layout), f32 coupling; DDI/init always run the module path.
+    dual_stream: bool = False
 
 
 def packed_mode(glow_cfg) -> str:

@@ -102,6 +102,72 @@ def prep_glowstep_params(p, consts, cfg, c: int, reverse: bool):
     return params, static_ld_px
 
 
+def _conv_same(x, kern):
+    """kxk same-padding NHWC conv (stride 1)."""
+    k = kern.shape[0]
+    p = (k - 1) // 2
+    return jax.lax.conv_general_dilated(
+        x, kern, (1, 1), ((p, p), (p, p)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+
+
+def prep_dual_params(p, consts, cfg, c: int):
+    """Fold one GlowStep's params into dual-stream-executor tensors.
+
+    Same algebra as the module path's weight-fold family (InvConv /
+    Conv2dNorm / Conv2dZeros docstrings), laid out for a (z1, z2) carry:
+
+      * ``w_top``/``w_bot`` [half, C]: the actnorm-folded 1x1 as
+        ``y = z1 @ w_top + z2 @ w_bot + shift`` (W's input columns scaled
+        by e^s, split by input half; ``shift = (b·e^s)·Wᵀ``).
+      * ``k0_z``/``k0_c``: net0's actnorm-folded 3x3 kernel split on its
+        input axis — ``conv([z1|cond]) == conv(z1, k0_z) + conv(cond, k0_c)``
+        (no per-step input concat).
+      * ``k2p``/``b2p``: net2's gain-folded kernel with the 'cross'
+        pre-permutation (evens→shift, odds→scale as contiguous halves).
+
+    Returns (tensors dict, static_logdet_per_px).
+    """
+    half = c // 2
+    inv = p["invconv"]
+    if cfg.lu_decomposed:
+        invc = consts["invconv"]
+        l_mask = jnp.tril(jnp.ones((c, c), jnp.float32), -1)
+        eye = jnp.eye(c, dtype=jnp.float32)
+        lower = inv["lower"] * l_mask + eye
+        upper = inv["upper"] * l_mask.T + jnp.diag(
+            invc["sign_s"] * jnp.exp(inv["log_s"])
+        )
+        weight = invc["p"] @ lower @ upper  # [out, in]
+        static_1x1 = jnp.sum(inv["log_s"])
+    else:
+        weight = inv["weight"]
+        static_1x1 = jnp.linalg.slogdet(weight)[1]
+    e_s = jnp.exp(p["norm"]["logs"])
+    w_cd = (weight * e_s[None, :]).T  # y = x @ w_cd (input cols scaled)
+    shift = (p["norm"]["bias"] * e_s) @ weight.T
+    aff = p["affine"]
+    g0 = jnp.exp(aff["net0"]["actnorm"]["logs"])
+    k0 = aff["net0"]["conv"]["kernel"] * g0
+    g1 = jnp.exp(aff["net1"]["actnorm"]["logs"])
+    w1 = aff["net1"]["conv"]["kernel"][0, 0] * g1
+    e3 = jnp.exp(3.0 * aff["net2"]["logs"])
+    perm = jnp.concatenate([jnp.arange(0, c, 2), jnp.arange(1, c, 2)])
+    k2p = (aff["net2"]["conv"]["kernel"] * e3)[..., perm]
+    b2p = (aff["net2"]["conv"]["bias"] * e3)[perm]
+    t = dict(
+        w_top=w_cd[:half], w_bot=w_cd[half:], shift=shift,
+        k0_z=k0[:, :, :half, :], k0_c=k0[:, :, half:, :],
+        b0=aff["net0"]["actnorm"]["bias"] * g0,
+        w1=w1, b1=aff["net1"]["actnorm"]["bias"] * g1,
+        k2p=k2p, b2p=b2p,
+    )
+    if cfg.clamp_type == "realnvp":
+        t["cl_scale"], t["cl_shift"] = aff["scale"], aff["scale_shift"]
+    return t, jnp.sum(p["norm"]["logs"]) + static_1x1
+
+
 class GlowStep(nn.Module):
     """norm -> invertible 1x1 conv -> conditional affine coupling.
 
@@ -372,14 +438,97 @@ class ListGlow(nn.Module):
             logdet = logdet - total if reverse else logdet + total
         return y, logdet
 
+    def _dual_eligible(self, ddi: bool, packed: str) -> bool:
+        """Dual-stream scale executor gate (GlowConfig.dual_stream): the
+        f-direction only, NHWC, with the full weight-fold family active.
+        DDI and init must run the module path (param creation / stats)."""
+        cfg = self.cfg
+        return (
+            getattr(cfg, "dual_stream", False)
+            and not packed
+            and cfg.flow_norm == "actnorm"
+            and getattr(cfg, "coupling_norm", "actnorm") == "actnorm"
+            and getattr(cfg, "fold_weights", True)
+            and getattr(cfg, "coupling_impl", "conv") in ("auto", "conv")
+            and getattr(cfg, "coupling_dtype", None) is None
+            and not ddi
+            and not self.is_initializing()
+        )
+
+    def _dual_scale(self, l: int, z, condition, logdet):
+        """Run scale ``l``'s K steps with (z1, z2) carried separately.
+
+        Removes per step: the output concat, the [z1|condition] input
+        concat (conv split on its input axis), and the strided 'cross'
+        gathers; the K coupling logdet reductions merge into one
+        per-scale reduction. Equivalent math to the module path up to
+        float reassociation (tests/test_flows.py::test_dual_stream_*).
+        Reference hot loop: Flow/glow.py:105-117.
+        """
+        cfg = self.cfg
+        c = z.shape[-1]
+        half = c // 2
+        hw = z.shape[1] * z.shape[2]
+        assert condition.shape[1:3] == z.shape[1:3], "condition/x spatial mismatch"
+        z1, z2 = z[..., :half], z[..., half:]
+        s_parts = []
+        static_px = 0.0
+        for k in range(cfg.K):
+            t, st = prep_dual_params(
+                self.variables["params"][f"scale{l}_step{k}"],
+                self.variables["consts"].get(f"scale{l}_step{k}", {}),
+                cfg, c,
+            )
+            y = (
+                jnp.einsum("bhwc,cd->bhwd", z1, t["w_top"])
+                + jnp.einsum("bhwc,cd->bhwd", z2, t["w_bot"])
+                + t["shift"]
+            )
+            z1, z2 = y[..., :half], y[..., half:]
+            h = _conv_same(z1, t["k0_z"]) + _conv_same(condition, t["k0_c"]) + t["b0"]
+            h = act(h, cfg.non_lin)
+            h = jnp.einsum("bhwu,uv->bhwv", h, t["w1"]) + t["b1"]
+            h = act(h, cfg.non_lin)
+            out = _conv_same(h, t["k2p"]) + t["b2p"]
+            shift_c, log_scale = out[..., :half], out[..., half:]
+            if cfg.clamp_type == "glow":
+                s = jnp.log(jax.nn.sigmoid(log_scale + 2.0))
+            elif cfg.clamp_type == "softclamp":
+                s = 2.5 * 0.636 * jnp.arctan(log_scale / 2.5)
+            elif cfg.clamp_type == "realnvp":
+                s = t["cl_scale"] * jnp.tanh(log_scale) + t["cl_shift"]
+            elif cfg.clamp_type == "none":
+                s = log_scale
+            else:
+                raise ValueError(f"unknown clamp type: {cfg.clamp_type}")
+            z2 = (z2 + shift_c) * jnp.exp(s)
+            s_parts.append(s)
+            static_px = static_px + st
+            z1 = checkpoint_name(z1, "flow_x")
+            z2 = checkpoint_name(z2, "flow_x")
+        z = jnp.concatenate([z1, z2], axis=-1)
+        if logdet is not None:
+            dyn = batch_reduce(jnp.stack(s_parts, axis=1))  # one reduction
+            logdet = logdet + dyn + static_px * hw
+        return z, logdet
+
     def f(self, x, conditions: Sequence, logdet, training: bool = True, ddi: bool = False):
         """x -> z. Reference Flow/glow.py:105-117."""
         cfg = self.cfg
         packed = self._packed(ddi)
         z = x
+        dual = self._dual_eligible(ddi, packed)
         for l in range(cfg.L):
             z = squeeze2d(z)
             h, w, c = z.shape[1], z.shape[2], z.shape[3]
+            if dual:
+                z, logdet = self._dual_scale(l, z, conditions[l], logdet)
+                if l < cfg.L - 1:
+                    z, logdet = self.splits[l](
+                        z, conditions[l], logdet, reverse=False, ddi=ddi
+                    )
+                    z = checkpoint_name(z, "flow_x")
+                continue
             if self._chain_eligible(z, ddi, False, packed):
                 z, logdet = self._chain(l, z, conditions[l], logdet, False)
                 if l < cfg.L - 1:

@@ -32,14 +32,16 @@ def time_step(impl: str, runs: int, batch_flow: bool = False,
               coupling_dtype: str | None = None,
               fold_weights: bool = True,
               packed_layout: object = False,
-              scan_unroll: int = 1, chain_impl: str = "off") -> float:
+              scan_unroll: int = 1, chain_impl: str = "off",
+              dual_stream: bool = False) -> float:
     cfg, tcfg = rfn_mnist_production()
     cfg = dataclasses.replace(
         cfg, glow=dataclasses.replace(cfg.glow, coupling_impl=impl,
                                       chain_impl=chain_impl,
                                       coupling_dtype=coupling_dtype,
                                       fold_weights=fold_weights,
-                                      packed_layout=packed_layout)
+                                      packed_layout=packed_layout,
+                                      dual_stream=dual_stream)
     )
     model = RFN(cfg, batch_flow=batch_flow, scan_unroll=scan_unroll)
     b, t = batch or tcfg.batch_size, tcfg.n_frames
@@ -147,6 +149,8 @@ def main():
                     help="lax.scan unroll factor for the loss/predict scans")
     ap.add_argument("--chain", default="off", choices=["off", "sample", "all"],
                     help="whole-scale chain kernel (GlowConfig.chain_impl)")
+    ap.add_argument("--dual", action="store_true",
+                    help="dual-stream scale executor (GlowConfig.dual_stream)")
     args = ap.parse_args()
     _enable_cache()
     for impl in args.impls.split(","):
@@ -171,11 +175,11 @@ def main():
                            packed_layout=args.packed or False,
                            coupling_dtype=args.coupling_dtype,
                            scan_unroll=args.scan_unroll,
-                           chain_impl=args.chain)
+                           chain_impl=args.chain, dual_stream=args.dual)
             bsz = args.batch or 30
             print(json.dumps({
                 "impl": impl, "packed": args.packed,
-                "batch_flow": args.batch_flow,
+                "batch_flow": args.batch_flow, "dual": args.dual,
                 "scan_unroll": args.scan_unroll, "chain": args.chain,
                 "batch": bsz,
                 "coupling_dtype": args.coupling_dtype,
