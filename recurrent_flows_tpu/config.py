@@ -142,10 +142,14 @@ class GlowConfig:
     # output gathers (the net2 kernel is pre-permuted so shift/scale are
     # contiguous slices, same trick as the fused kernel). The K per-step
     # coupling logdet reductions merge into ONE per-scale reduction.
-    # Exact same math up to float reassociation — equivalence tests in
-    # tests/test_flows.py; measured A/B in docs/PERF.md round 4.
+    # Exact same math up to float reassociation — equivalence + gradient
+    # tests in tests/test_flows.py::test_dual_stream_*; measured A/B in
+    # docs/PERF.md round 5 ("dual-stream scale executor").
     # Requires actnorm flow/coupling norms + fold_weights, NHWC (no packed
     # layout), f32 coupling; DDI/init always run the module path.
+    # Precedence: in the f direction dual_stream takes priority over
+    # chain_impl='all' (the chain kernel still serves g) — don't combine
+    # them in an A/B expecting to measure the f-direction chain kernel.
     dual_stream: bool = False
 
 

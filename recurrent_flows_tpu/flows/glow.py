@@ -441,7 +441,9 @@ class ListGlow(nn.Module):
     def _dual_eligible(self, ddi: bool, packed: str) -> bool:
         """Dual-stream scale executor gate (GlowConfig.dual_stream): the
         f-direction only, NHWC, with the full weight-fold family active.
-        DDI and init must run the module path (param creation / stats)."""
+        DDI and init must run the module path (param creation / stats).
+        Takes precedence over chain_impl='all' in f (documented in
+        GlowConfig; the chain kernel still serves the g direction)."""
         cfg = self.cfg
         return (
             getattr(cfg, "dual_stream", False)
@@ -473,10 +475,13 @@ class ListGlow(nn.Module):
         z1, z2 = z[..., :half], z[..., half:]
         s_parts = []
         static_px = 0.0
+        # the 'consts' collection only exists under lu_decomposed (InvConv's
+        # P/sign_s); the non-LU branch of prep_dual_params never reads it
+        consts = self.variables.get("consts", {})
         for k in range(cfg.K):
             t, st = prep_dual_params(
                 self.variables["params"][f"scale{l}_step{k}"],
-                self.variables["consts"].get(f"scale{l}_step{k}", {}),
+                consts.get(f"scale{l}_step{k}", {}),
                 cfg, c,
             )
             y = (
@@ -527,7 +532,9 @@ class ListGlow(nn.Module):
                     z, logdet = self.splits[l](
                         z, conditions[l], logdet, reverse=False, ddi=ddi
                     )
-                    z = checkpoint_name(z, "flow_x")
+                # tag unconditionally (matching the chain/module paths) so
+                # 'save_flow_x' remat saves the final scale's concat too
+                z = checkpoint_name(z, "flow_x")
                 continue
             if self._chain_eligible(z, ddi, False, packed):
                 z, logdet = self._chain(l, z, conditions[l], logdet, False)

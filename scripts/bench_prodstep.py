@@ -27,13 +27,22 @@ from recurrent_flows_tpu.models import RFN
 from recurrent_flows_tpu.utils.compilation_cache import enable as _enable_cache
 
 
-def time_step(impl: str, runs: int, batch_flow: bool = False,
-              batch: int | None = None,
-              coupling_dtype: str | None = None,
-              fold_weights: bool = True,
-              packed_layout: object = False,
-              scan_unroll: int = 1, chain_impl: str = "off",
-              dual_stream: bool = False) -> float:
+_SENTINEL = "default"
+
+
+def make_step_timer(impl: str, batch_flow: bool = False,
+                    batch: int | None = None,
+                    coupling_dtype: str | None = None,
+                    fold_weights: bool = True,
+                    packed_layout: object = False,
+                    scan_unroll: int = 1, chain_impl: str = "off",
+                    dual_stream: bool = False,
+                    remat_policy: object = _SENTINEL):
+    """Build + compile the prod loss+grad step; return run_block(n) ->
+    per-step seconds over one chained block of n dispatches. Lets A/B
+    callers interleave measurement blocks of two variants in ONE process
+    (the round-4 verdict: cross-session link variance ~4% swallowed the
+    remat-policy delta, so pairs must be timed in-session)."""
     cfg, tcfg = rfn_mnist_production()
     cfg = dataclasses.replace(
         cfg, glow=dataclasses.replace(cfg.glow, coupling_impl=impl,
@@ -43,7 +52,8 @@ def time_step(impl: str, runs: int, batch_flow: bool = False,
                                       packed_layout=packed_layout,
                                       dual_stream=dual_stream)
     )
-    model = RFN(cfg, batch_flow=batch_flow, scan_unroll=scan_unroll)
+    extra = {} if remat_policy is _SENTINEL else {"remat_policy": remat_policy}
+    model = RFN(cfg, batch_flow=batch_flow, scan_unroll=scan_unroll, **extra)
     b, t = batch or tcfg.batch_size, tcfg.n_frames
     x = jax.random.uniform(
         jax.random.key(0), (b, t, cfg.image_size, cfg.image_size, 1)
@@ -69,10 +79,17 @@ def time_step(impl: str, runs: int, batch_flow: bool = False,
         return jax.value_and_grad(loss_fn)(params)
 
     params = variables["params"]
-    # compiled-cost introspection for the roofline statement (bench.py)
+    # ONE compile per variant: lower+compile explicitly and dispatch
+    # through the AOT executable (a jitted step() call would trigger a
+    # SECOND full compile — the jit cache is not populated by lower(); at
+    # prod scale over a cold persistent cache that doubling blew the
+    # round-5 A/B past its 15-min budget).
+    compiled = step.lower(params, x, jax.random.key(3),
+                          jnp.float32(0.0)).compile()
     try:
-        cost = step.lower(params, x, jax.random.key(3),
-                          jnp.float32(0.0)).compile().cost_analysis()
+        cost = compiled.cost_analysis()
+        if isinstance(cost, list):
+            cost = cost[0]
         time_step.flops = float(cost.get("flops", 0.0))
         time_step.bytes = float(cost.get("bytes accessed", 0.0))
     except Exception:
@@ -83,13 +100,49 @@ def time_step(impl: str, runs: int, batch_flow: bool = False,
     # CHAINED on the previous loss (inside the jit) to force on-device
     # serialization, and the final loss is fetched BY VALUE.
     # Wall = runs*step + one link round-trip (~40 ms), amortized O(1/runs).
-    loss, _ = step(params, x, jax.random.key(3), jnp.float32(0.0))
-    float(loss)  # compile + sync
-    t0 = time.perf_counter()
-    for i in range(runs):
-        loss, _ = step(params, x, jax.random.key(4 + i), loss)
-    float(loss)
-    return (time.perf_counter() - t0) / runs
+    loss, _ = compiled(params, x, jax.random.key(3), jnp.float32(0.0))
+    float(loss)  # sync
+
+    def run_block(n: int) -> float:
+        """Per-step seconds over one chained block of n dispatches."""
+        loss = compiled(params, x, jax.random.key(3), jnp.float32(0.0))[0]
+        float(loss)  # sync the block start
+        t0 = time.perf_counter()
+        for i in range(n):
+            loss, _ = compiled(params, x, jax.random.key(4 + i), loss)
+        float(loss)
+        return (time.perf_counter() - t0) / n
+
+    return run_block
+
+
+def time_step(impl: str, runs: int, **kw) -> float:
+    return make_step_timer(impl, **kw)(runs)
+
+
+def ab_step(impl: str, runs: int, base_kw: dict, var_kw: dict,
+            blocks: int = 4, **common) -> dict:
+    """Interleaved in-session A/B of two train-step variants.
+
+    Both steps are compiled first, then ``blocks`` alternating A/B
+    measurement blocks of runs//blocks dispatches each; reports the
+    per-variant median-of-blocks and the delta. Interleaving cancels the
+    slow link-speed drift that invalidated round 4's cross-session A/B."""
+    n = max(1, runs // blocks)
+    run_a = make_step_timer(impl, **common, **base_kw)
+    run_b = make_step_timer(impl, **common, **var_kw)
+    a_ms, b_ms = [], []
+    run_a(2), run_b(2)  # settle both after compile
+    for _ in range(blocks):
+        a_ms.append(run_a(n) * 1000)
+        b_ms.append(run_b(n) * 1000)
+    med = lambda v: sorted(v)[len(v) // 2]
+    return {
+        "a_ms": round(med(a_ms), 2), "b_ms": round(med(b_ms), 2),
+        "a_blocks": [round(v, 2) for v in a_ms],
+        "b_blocks": [round(v, 2) for v in b_ms],
+        "delta_pct": round(100 * (med(a_ms) - med(b_ms)) / med(a_ms), 2),
+    }
 
 
 def time_sample(impl: str, runs: int, fold_weights: bool = True,
@@ -151,8 +204,33 @@ def main():
                     help="whole-scale chain kernel (GlowConfig.chain_impl)")
     ap.add_argument("--dual", action="store_true",
                     help="dual-stream scale executor (GlowConfig.dual_stream)")
+    ap.add_argument("--remat", default="default",
+                    help="RFN.remat_policy override: default|none|save_flow_x|"
+                         "save_flow_xc|save_flow_full|<jax policy name>")
+    ap.add_argument("--ab", default=None, choices=["dual", "remat"],
+                    help="interleaved in-session A/B: 'dual' = module path "
+                         "vs dual_stream; 'remat' = remat_policy None vs "
+                         "save_flow_x")
     args = ap.parse_args()
     _enable_cache()
+    remat = (_SENTINEL if args.remat == "default"
+             else None if args.remat == "none" else args.remat)
+    if args.ab:
+        impl = args.impls.split(",")[0]
+        common = dict(batch=args.batch, scan_unroll=args.scan_unroll,
+                      chain_impl=args.chain)
+        if args.ab == "dual":
+            base_kw = dict(dual_stream=False, remat_policy=remat)
+            var_kw = dict(dual_stream=True, remat_policy=remat)
+        else:
+            base_kw = dict(dual_stream=args.dual, remat_policy=None)
+            var_kw = dict(dual_stream=args.dual, remat_policy="save_flow_x")
+        res = ab_step(impl, args.runs, base_kw, var_kw, **common)
+        print(json.dumps({"ab": args.ab, "impl": impl,
+                          "base": {k: str(v) for k, v in base_kw.items()},
+                          "variant": {k: str(v) for k, v in var_kw.items()},
+                          **res}), flush=True)
+        return
     for impl in args.impls.split(","):
         if args.mode == "sample":
             dt = time_sample(impl, args.runs,
@@ -175,7 +253,8 @@ def main():
                            packed_layout=args.packed or False,
                            coupling_dtype=args.coupling_dtype,
                            scan_unroll=args.scan_unroll,
-                           chain_impl=args.chain, dual_stream=args.dual)
+                           chain_impl=args.chain, dual_stream=args.dual,
+                           remat_policy=remat)
             bsz = args.batch or 30
             print(json.dumps({
                 "impl": impl, "packed": args.packed,

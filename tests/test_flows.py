@@ -495,3 +495,153 @@ def test_chain_impl_gradients_match():
     jax.tree_util.tree_map(
         lambda a, b: np.testing.assert_allclose(a, b, atol=1e-4, rtol=1e-3),
         grads["all"], grads["off"])
+
+
+# -- dual-stream scale executor (GlowConfig.dual_stream) -------------------
+
+
+def _dual_setup(clamp="realnvp", lu=True, L=2, K=2, img=8, c_in=4,
+                non_lin="relu", **cfg_over):
+    """One param tree, two views of it: cfg with dual_stream off and on.
+
+    Both ListGlow instances share the identical variables (the dual
+    executor reads the module path's tree), so any output difference is
+    purely the executor's float reassociation."""
+    base_kw = dict(L=L, K=K, n_units_affine=8, n_units_prior=8,
+                   clamp_type=clamp, lu_decomposed=lu, non_lin=non_lin)
+    base_kw.update(cfg_over)
+    m_off = ListGlow(c_in, img, GlowConfig(dual_stream=False, **base_kw))
+    m_on = ListGlow(c_in, img, GlowConfig(dual_stream=True, **base_kw))
+    x = jax.random.normal(jax.random.key(0), (B, img, img, c_in)) * 0.1
+    conds = [
+        jax.random.normal(
+            jax.random.key(10 + l),
+            (B, img // 2 ** (l + 1), img // 2 ** (l + 1), COND_C))
+        for l in range(L)
+    ]
+    base = jax.random.normal(
+        jax.random.key(20), (B, img // 2 ** L, img // 2 ** L, 5))
+    v = m_off.init(jax.random.key(1), x, conds, base, jax.random.key(2))
+    # nudge the 1-d params (actnorm logs/bias, conv gains) off their zero
+    # init so folds/logdets are exercised with non-trivial values
+    p = jax.tree_util.tree_map(
+        lambda a: a + 0.1 * jax.random.normal(jax.random.key(3), a.shape)
+        if a.ndim == 1 else a, v["params"])
+    var = {"params": p, **{k: v[k] for k in v if k != "params"}}
+    return m_off, m_on, var, x, conds, base
+
+
+@pytest.mark.parametrize("clamp", ["realnvp", "glow", "softclamp", "none"])
+def test_dual_stream_f_equivalence(clamp):
+    """dual_stream f output + logdet == module path, all 4 clamp types."""
+    m_off, m_on, var, x, conds, _ = _dual_setup(clamp=clamp)
+    z0, ld0 = m_off.apply(var, x, conds, jnp.zeros(B), method=ListGlow.f)
+    z1, ld1 = m_on.apply(var, x, conds, jnp.zeros(B), method=ListGlow.f)
+    np.testing.assert_allclose(z1, z0, atol=3e-6, rtol=3e-6)
+    np.testing.assert_allclose(ld1, ld0, atol=2e-4, rtol=1e-6)
+
+
+def test_dual_stream_f_equivalence_non_lu():
+    """lu_decomposed=False: no 'consts' collection exists at all — the
+    executor must fall back to .get and take the slogdet branch
+    (ADVICE r4: this crashed with KeyError before the fix)."""
+    m_off, m_on, var, x, conds, _ = _dual_setup(lu=False)
+    assert "consts" not in var  # the very precondition that crashed
+    z0, ld0 = m_off.apply(var, x, conds, jnp.zeros(B), method=ListGlow.f)
+    z1, ld1 = m_on.apply(var, x, conds, jnp.zeros(B), method=ListGlow.f)
+    np.testing.assert_allclose(z1, z0, atol=3e-6, rtol=3e-6)
+    np.testing.assert_allclose(ld1, ld0, atol=2e-4, rtol=1e-6)
+
+
+def test_dual_stream_f_equivalence_deep():
+    """L=3, K=3, leakyrelu — different static structure than the default."""
+    m_off, m_on, var, x, conds, _ = _dual_setup(
+        L=3, K=3, img=16, non_lin="leakyrelu")
+    z0, ld0 = m_off.apply(var, x, conds, jnp.zeros(B), method=ListGlow.f)
+    z1, ld1 = m_on.apply(var, x, conds, jnp.zeros(B), method=ListGlow.f)
+    np.testing.assert_allclose(z1, z0, atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(ld1, ld0, atol=5e-4, rtol=1e-6)
+
+
+def test_dual_stream_gradients_match():
+    """loss + per-tensor grads through log_prob: dual == module path."""
+    grads, vals = {}, {}
+    for dual in (False, True):
+        m_off, m_on, var, x, conds, base = _dual_setup()
+        m = m_on if dual else m_off
+        rest = {k: var[k] for k in var if k != "params"}
+
+        def loss(p):
+            _, nll = m.apply({"params": p, **rest}, x, conds, base,
+                             jax.random.key(5), method=ListGlow.log_prob)
+            return jnp.mean(nll)
+
+        vals[dual], grads[dual] = jax.value_and_grad(loss)(var["params"])
+    np.testing.assert_allclose(vals[True], vals[False], rtol=1e-5)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(a, b, atol=1e-4, rtol=1e-3),
+        grads[True], grads[False])
+
+
+def test_dual_stream_g_unaffected():
+    """The executor is f-only: g with dual_stream=True must equal the
+    module path's g bit-for-bit (same rng stream, same modules)."""
+    m_off, m_on, var, x, conds, _ = _dual_setup()
+    z, _ = m_off.apply(var, x, conds, jnp.zeros(B), method=ListGlow.f)
+    g0 = m_off.apply(var, z, conds, jax.random.key(4), method=ListGlow.g)
+    g1 = m_on.apply(var, z, conds, jax.random.key(4), method=ListGlow.g)
+    np.testing.assert_array_equal(np.asarray(g0), np.asarray(g1))
+
+
+@pytest.mark.parametrize("case", ["ddi", "packed", "coupling_norm",
+                                  "batchnorm_flow", "no_fold"])
+def test_dual_stream_gate_falls_back(case, monkeypatch):
+    """Ineligible configs must route around _dual_scale entirely — proven
+    by poisoning it, not by absence of a crash."""
+    from recurrent_flows_tpu.flows import glow as glow_mod
+
+    kw, apply_kw = {}, {}
+    if case == "packed":
+        kw["packed_layout"] = "sublane"
+    elif case == "coupling_norm":
+        kw["coupling_norm"] = "batchnorm"
+    elif case == "batchnorm_flow":
+        kw["flow_norm"] = "batchnorm"
+    elif case == "no_fold":
+        kw["fold_weights"] = False
+    m_off, m_on, var, x, conds, _ = _dual_setup(**kw)
+    if case == "ddi":
+        apply_kw = dict(ddi=True)
+
+    def _poisoned(self, *a, **k):
+        raise AssertionError("_dual_scale must not run for this config")
+
+    monkeypatch.setattr(glow_mod.ListGlow, "_dual_scale", _poisoned)
+    mutable = ["ddi_stats"] if case == "ddi" else \
+        (["batch_stats"] if case in ("coupling_norm", "batchnorm_flow") else [])
+    if mutable:
+        apply_kw["mutable"] = mutable
+    out = m_on.apply(var, x, conds, jnp.zeros(B), method=ListGlow.f,
+                     **apply_kw)
+    z, ld = out[0] if mutable else out
+    assert jnp.all(jnp.isfinite(z)) and jnp.all(jnp.isfinite(ld))
+
+
+def test_dual_stream_gate_engages(monkeypatch):
+    """And the eligible default config must actually take the executor."""
+    from recurrent_flows_tpu.flows import glow as glow_mod
+
+    m_off, m_on, var, x, conds, _ = _dual_setup()
+    calls = []
+    orig = glow_mod.ListGlow._dual_scale
+
+    def _spy(self, *a, **k):
+        calls.append(a[0])
+        return orig(self, *a, **k)
+
+    monkeypatch.setattr(glow_mod.ListGlow, "_dual_scale", _spy)
+    m_on.apply(var, x, conds, jnp.zeros(B), method=ListGlow.f)
+    assert calls == [0, 1]  # once per scale
+    calls.clear()
+    m_off.apply(var, x, conds, jnp.zeros(B), method=ListGlow.f)
+    assert calls == []  # default-off config never enters
