@@ -144,7 +144,10 @@ class GlowConfig:
     # coupling logdet reductions merge into ONE per-scale reduction.
     # Exact same math up to float reassociation — equivalence + gradient
     # tests in tests/test_flows.py::test_dual_stream_*; measured A/B in
-    # docs/PERF.md round 5 ("dual-stream scale executor").
+    # docs/PERF.md round 5 ("dual-stream scale executor"): 2.8% SLOWER
+    # than the module path on the prod train step (XLA already fuses the
+    # deleted concats; two half-width einsums lose to one [C,C] matmul),
+    # so the default stays False.
     # Requires actnorm flow/coupling norms + fold_weights, NHWC (no packed
     # layout), f32 coupling; DDI/init always run the module path.
     # Precedence: in the f direction dual_stream takes priority over

@@ -60,9 +60,10 @@ class RFN(nn.Module):
     # 'save_flow_x': save the flow's per-GlowStep carries (tagged with
     # checkpoint_name in ListGlow.f) so the backward recomputes each
     # step's coupling intermediates from its saved input in PARALLEL
-    # instead of replaying the 50-step SERIAL chain — measured 98.6 vs
-    # 102.7 ms on the prod train step (+4.1%, scripts/profile_prodstep.py
-    # --only 2,8), ~10 MB/frame extra HBM. Any other attribute name from
+    # instead of replaying the 50-step SERIAL chain — measured 104.8 vs
+    # 108.0 ms on the prod train step (+3.0%, interleaved in-session
+    # blocks, scripts/bench_prodstep.py --ab remat, docs/PERF.md round 5),
+    # ~10 MB/frame extra HBM. Any other attribute name from
     # jax.checkpoint_policies also works ('dots_saveable' measured and
     # rejected, docs/PERF.md); None = plain full remat.
     remat_policy: str | None = "save_flow_x"

@@ -1,0 +1,188 @@
+#!/usr/bin/env python
+"""END-TO-END file-backed training proof (VERDICT r4 next #5).
+
+Round 4 proved the native framecache's FEED RATE (34-209x margin,
+scripts/bench_framecache.py) but no recorded training run had ever
+consumed a framecache/file dataset end-to-end — the iterable-dataset
+Trainer path (through the r4 persistent-iterator fix) was unit-tested
+only. This script closes that:
+
+  1. builds a synthetic KTH-shaped blob (N grayscale 64x64 videos) with
+     the real C++ builder (labeled synthetic — host has no real KTH);
+  2. runs a REAL Trainer.fit on it: >=2 epochs, DDI init, checkpoints,
+     plotter, metrics.jsonl — FrameCache consumed as an ITERABLE dataset
+     (the prefetch ring, not the sampler protocol);
+  3. evals from the same blob (protocol metrics via Evaluator);
+  4. times the same config against the on-device MovingMNIST generator
+     and reports steps/s for both paths.
+
+Writes docs/artifacts/framecache_e2e_r5.json.
+Reference counterpart: DataLoader training, RFN/trainer.py:155-161,221-275.
+
+Run: python scripts/train_framecache_e2e.py [--epochs 2] [--steps 60]
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+import time
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+
+import numpy as np
+
+
+def synth_kth_blob(path: str, n_videos: int = 24, n_frames: int = 40,
+                   hw: int = 64) -> str:
+    """KTH-shaped synthetic videos: a moving bright blob per video on a
+    dark background (content irrelevant — the point is the file path)."""
+    from recurrent_flows_tpu.data.framecache import build_blob, ensure_built
+
+    assert ensure_built(), "g++ toolchain required for the native framecache"
+    rng = np.random.RandomState(0)
+    videos = []
+    for v in range(n_videos):
+        x0, y0 = rng.randint(8, hw - 24, size=2)
+        dx, dy = rng.choice([-2, -1, 1, 2], size=2)
+        frames = np.zeros((n_frames, hw, hw, 1), np.uint8)
+        x, y = float(x0), float(y0)
+        for t in range(n_frames):
+            xi, yi = int(x) % (hw - 16), int(y) % (hw - 16)
+            frames[t, yi:yi + 16, xi:xi + 16, 0] = 200 + (v % 55)
+            x, y = x + dx, y + dy
+        videos.append(frames)
+    return build_blob(videos, path)
+
+
+def small_cfg():
+    """Small-but-real 64x64 RFN: fast steps so the run is data-sensitive
+    (a compute-bound config would hide any feed-path stall)."""
+    from recurrent_flows_tpu.config import GlowConfig, RFNConfig
+
+    return RFNConfig(
+        x_channels=1, image_size=64, h_dim=32, z_dim=8, a_dim=16,
+        L=2, K=4,
+        extractor_structure=((8, "pool", 16), (16, "pool", 32)),
+        upscaler_structure=((32,), ("upsample", 16, 16)),
+        prior_structure=(16,), encoder_structure=(16,),
+        norm_type="none", norm_type_features="none",
+        glow=GlowConfig(L=2, K=4, n_units_affine=32, n_units_prior=32),
+    )
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--epochs", type=int, default=2)
+    ap.add_argument("--steps", type=int, default=60)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--t", type=int, default=6)
+    ap.add_argument("--out", default="/tmp/framecache_e2e")
+    args = ap.parse_args()
+
+    from recurrent_flows_tpu.config import TrainConfig
+    from recurrent_flows_tpu.data import MovingMNIST
+    from recurrent_flows_tpu.data.framecache import FrameCache
+    from recurrent_flows_tpu.models import RFN
+    from recurrent_flows_tpu.training import Trainer
+    from recurrent_flows_tpu.utils.compilation_cache import enable as _cache
+
+    _cache()
+    os.makedirs(args.out, exist_ok=True)
+    blob = os.path.join(args.out, "synthetic_kth.blob")
+    if not os.path.exists(blob):
+        synth_kth_blob(blob)
+    result = dict(blob=blob, data_source="synthetic_kth_blob (labeled; no "
+                  "real KTH on host)", epochs=args.epochs, steps_per_epoch=args.steps,
+                  batch=args.batch, t=args.t)
+
+    cfg = small_cfg()
+    tcfg = TrainConfig(batch_size=args.batch, n_frames=args.t,
+                       n_epochs=args.epochs, steps_per_epoch=args.steps,
+                       checkpoint_every=1, beta_steps=50)
+
+    # ---- framecache-fed REAL fit (iterable path: prefetch ring) --------
+    fc = FrameCache(blob, seq_len=args.t, batch_size=args.batch,
+                    batches_per_epoch=args.steps, seed=3)
+    run_dir = os.path.join(args.out, "run_fc")
+    tr = Trainer(RFN(cfg), tcfg, fc, run_dir).build(run_ddi=True)
+    t0 = time.perf_counter()
+    tr.fit()
+    fc_wall = time.perf_counter() - t0
+    n_steps = args.epochs * args.steps
+    result["framecache_fit"] = dict(
+        wall_s=round(fc_wall, 1),
+        steps_per_s=round(n_steps / fc_wall, 2),
+        train_frames_per_s=round(
+            n_steps * args.batch * (args.t - 1) / fc_wall, 1))
+    # artifacts the fit must have produced
+    mf = os.path.join(run_dir, "model_folder")
+    produced = dict(
+        checkpoint=os.path.exists(os.path.join(mf, "last", "meta.json")),
+        metrics=os.path.exists(os.path.join(mf, "metrics.jsonl")),
+        pngs=len([f for f in os.listdir(os.path.join(run_dir, "png_folder"))
+                  if f.endswith(".png")])
+        if os.path.isdir(os.path.join(run_dir, "png_folder")) else 0,
+    )
+    result["artifacts"] = produced
+    assert produced["checkpoint"] and produced["metrics"], produced
+
+    # ---- eval from the same blob --------------------------------------
+    from recurrent_flows_tpu.evaluation.evaluator import (EvalSettings,
+                                                          Evaluator)
+
+    class _Sampler:
+        """Evaluator adapter: .sample(key, batch) over the blob."""
+
+        def __init__(self, path):
+            self._fc = FrameCache(path, seq_len=args.t,
+                                  batch_size=args.batch, seed=11)
+
+        def sample(self, key, batch):
+            import jax
+
+            seed = int(jax.random.randint(key, (), 0, 1 << 30))
+            x = self._fc.sample_numpy(seed=seed)
+            return x[:batch]
+
+    ev = Evaluator(tr.model, tr.variables, _Sampler(blob),
+                   EvalSettings(batch_size=args.batch, n_batches=2,
+                                resamples=2, n_conditions=2,
+                                n_predictions=args.t - 2))
+    import jax
+
+    vals = ev.get_eval_values(jax.random.key(0), with_lpips=False)
+    bpd = ev.get_loss(jax.random.key(1), resamples=2)
+    result["eval_from_blob"] = dict(
+        bits_per_dim=round(float(bpd), 4),
+        **{k: round(float(np.mean(v)), 4)
+           for k, v in vals.items()
+           if isinstance(v, np.ndarray) and v.size})
+
+    # ---- on-device generator rate, same config ------------------------
+    ds = MovingMNIST(seq_len=args.t, image_size=64, digit_size=28,
+                     num_digits=1)
+    run_dir2 = os.path.join(args.out, "run_gen")
+    tr2 = Trainer(RFN(cfg), tcfg, ds, run_dir2).build(run_ddi=True)
+    t0 = time.perf_counter()
+    tr2.fit()
+    gen_wall = time.perf_counter() - t0
+    result["generator_fit"] = dict(
+        wall_s=round(gen_wall, 1),
+        steps_per_s=round(n_steps / gen_wall, 2))
+    result["feed_overhead_pct"] = round(
+        100.0 * (fc_wall - gen_wall) / gen_wall, 1)
+
+    out_path = os.path.join(_REPO, "docs", "artifacts",
+                            "framecache_e2e_r5.json")
+    with open(out_path, "w") as f:
+        json.dump(result, f, indent=2)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
