@@ -111,13 +111,13 @@ def probe_scale_g_slope(l: int, runs: int, batch: int,
     return slope
 
 
-def _build_full_g(batch: int):
+def _build_full_g(batch: int, **overrides):
     """The full prod flow g-pass: L=5 scales with conditional Split2d
     redraws, realnvp clamps, learned prior OFF (the base draw is the
     caller's; RFN draws it from the prior net — tiny vs the chain)."""
     cfg = GlowConfig(L=L_FULL, K=K, n_units_affine=256, n_units_prior=512,
                      flow_norm="actnorm", clamp_type="realnvp",
-                     learn_prior=False)
+                     learn_prior=False, **overrides)
     m = ListGlow(in_channels=1, image_size=64, cfg=cfg)
     kx, ki = jax.random.split(jax.random.key(0))
     x = jax.random.normal(kx, (batch, 64, 64, 1))
@@ -219,11 +219,57 @@ def probe_full_g(runs: int, batch: int, attribute: bool):
         ms_lo=round(times[2], 3), ms_hi=round(times[8], 3))), flush=True)
 
 
+def probe_dtype_ab(blocks: int, runs: int, batch: int):
+    """In-session interleaved A/B: f32 (default) vs coupling_dtype=bf16
+    on the PROD-SHAPE full g-pass. The round-3 'bf16 = parity' verdict
+    was measured on the SMALL bench rollout (op-count-bound, B=8/L=3);
+    at prod shape (B=30/L=5) the g-pass is compute/traffic-bound, so the
+    question is live again. Same methodology as bench_prodstep --ab:
+    alternating blocks in one process, median of block slopes."""
+    variants = {}
+    for name, ov in (("f32", {}), ("bf16", dict(coupling_dtype="bfloat16"))):
+        g_fn, z0 = _build_full_g(batch, **ov)
+
+        def make(R, g_fn=g_fn):
+            def f(z, chain):
+                def body(carry, i):
+                    z_r, acc = carry
+                    x = g_fn(z_r, jax.random.fold_in(jax.random.key(3), i),
+                             acc)
+                    lm = jnp.mean(x)
+                    return (z_r * (1.0 + 1e-8 * lm), acc + lm), None
+
+                (_, acc), _ = jax.lax.scan(body, (z, chain), jnp.arange(R))
+                return acc
+
+            return f
+
+        variants[name] = (make, z0)
+
+    slopes = {"f32": [], "bf16": []}
+    for blk in range(blocks):
+        for name, (make, z0) in variants.items():
+            times = {}
+            for R in (2, 8):
+                times[R] = _chain_time(make(R), (z0,), runs)
+            s = (times[8] - times[2]) / 6.0
+            slopes[name].append(round(s, 3))
+            print(json.dumps(dict(block=blk, variant=name, ms=round(s, 3))),
+                  flush=True)
+    med = {k: sorted(v)[len(v) // 2] for k, v in slopes.items()}
+    print(json.dumps(dict(
+        ab="full-g coupling_dtype", batch=batch, blocks=slopes,
+        median_f32_ms=med["f32"], median_bf16_ms=med["bf16"],
+        bf16_speedup_pct=round(100 * (med["f32"] - med["bf16"]) / med["f32"],
+                               1))), flush=True)
+
+
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--mode", default="slopes",
-                    choices=["slopes", "hlo", "serving"])
+                    choices=["slopes", "hlo", "serving", "dtype_ab"])
     ap.add_argument("--runs", type=int, default=9)
+    ap.add_argument("--blocks", type=int, default=4)
     ap.add_argument("--scales", default="0,1,2,3,4")
     args = ap.parse_args()
     _enable_cache()
@@ -235,6 +281,8 @@ def main():
               flush=True)
     elif args.mode == "hlo":
         probe_full_g(args.runs, B, attribute=True)
+    elif args.mode == "dtype_ab":
+        probe_dtype_ab(args.blocks, args.runs, B)
     else:
         probe_full_g(args.runs, 1, attribute=True)
 
