@@ -105,6 +105,25 @@ def main():
                        n_epochs=args.epochs, steps_per_epoch=args.steps,
                        checkpoint_every=1, beta_steps=50)
 
+    def warm_stats(run_dir):
+        """Steady-state rate from the Trainer's own per-epoch step_stats,
+        SKIPPING epoch 1 (which pays jit compile + DDI — wall-clock
+        comparisons that include it measure the compiler, not the feed:
+        the first fit in the process compiles while later fits reuse the
+        persistent XLA cache, so raw wall_s is asymmetric by ~300 s)."""
+        path = os.path.join(run_dir, "model_folder", "metrics.jsonl")
+        rates, window_s = [], 0.0
+        with open(path) as f:
+            for ln in f:
+                rec = json.loads(ln)
+                if rec["epoch"] == 1:
+                    continue
+                st = rec.get("step_stats") or {}
+                if st.get("steps_per_s"):
+                    rates.append(st["steps_per_s"])
+                    window_s += st.get("window_s", 0.0)
+        return rates, window_s
+
     # ---- framecache-fed REAL fit (iterable path: prefetch ring) --------
     fc = FrameCache(blob, seq_len=args.t, batch_size=args.batch,
                     batches_per_epoch=args.steps, seed=3)
@@ -114,11 +133,16 @@ def main():
     tr.fit()
     fc_wall = time.perf_counter() - t0
     n_steps = args.epochs * args.steps
+    fc_rates, fc_window = warm_stats(run_dir)
+    fc_warm = sorted(fc_rates)[len(fc_rates) // 2] if fc_rates else None
     result["framecache_fit"] = dict(
         wall_s=round(fc_wall, 1),
-        steps_per_s=round(n_steps / fc_wall, 2),
-        train_frames_per_s=round(
-            n_steps * args.batch * (args.t - 1) / fc_wall, 1))
+        wall_note="includes first-fit jit compile + DDI; use warm_* for "
+                  "the feed comparison",
+        warm_steps_per_s=round(fc_warm, 2) if fc_warm else None,
+        warm_epoch_rates=[round(r, 2) for r in fc_rates],
+        warm_train_frames_per_s=round(
+            fc_warm * args.batch * (args.t - 1), 1) if fc_warm else None)
     # artifacts the fit must have produced
     mf = os.path.join(run_dir, "model_folder")
     produced = dict(
@@ -171,11 +195,19 @@ def main():
     t0 = time.perf_counter()
     tr2.fit()
     gen_wall = time.perf_counter() - t0
+    gen_rates, _ = warm_stats(run_dir2)
+    gen_warm = sorted(gen_rates)[len(gen_rates) // 2] if gen_rates else None
     result["generator_fit"] = dict(
         wall_s=round(gen_wall, 1),
-        steps_per_s=round(n_steps / gen_wall, 2))
-    result["feed_overhead_pct"] = round(
-        100.0 * (fc_wall - gen_wall) / gen_wall, 1)
+        warm_steps_per_s=round(gen_warm, 2) if gen_warm else None,
+        warm_epoch_rates=[round(r, 2) for r in gen_rates])
+    if fc_warm and gen_warm:
+        result["feed_overhead_pct"] = round(
+            100.0 * (gen_warm - fc_warm) / gen_warm, 1)
+        result["feed_overhead_note"] = (
+            "warm-epoch medians (epoch 1 excluded on both sides); "
+            "framecache path adds host-side numpy batch assembly vs the "
+            "fully on-device generator")
 
     out_path = os.path.join(_REPO, "docs", "artifacts",
                             "framecache_e2e_r5.json")
